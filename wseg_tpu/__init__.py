@@ -1,0 +1,26 @@
+"""wseg_tpu — TPU-native single-stage weakly-supervised semantic segmentation.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+EnchanterXiao/1-stage-wseg ("Single-Stage Semantic Segmentation from Image
+Labels", Araslanov & Roth, CVPR 2020, plus the fork's CAM/attention model zoo).
+
+Architecture (TPU-first, not a port):
+  * pure-functional compute core: models are Flax modules that return a
+    ``ModelOutput`` struct; all loss / pseudo-ground-truth logic lives in a
+    functional ``losses``/``ops`` layer (the reference tangles losses into
+    ``nn.Module.forward``; reference: models/SoftMaxAE.py:185-261).
+  * static shapes everywhere: train crops are fixed, multi-scale inference
+    pads each view to a per-bucket static size so XLA compiles one program
+    per bucket and the MXU sees large batched convolutions.
+  * parallelism via ``jax.sharding.Mesh`` + NamedSharding: the batch is
+    sharded over a 1-D ``data`` axis (replacing the reference's
+    nn.DataParallel, train.py:112) and gradients all-reduce inside XLA over
+    ICI.  Large-image inference can additionally shard H over a ``space``
+    axis (XLA inserts halo exchanges for convs automatically).
+  * hot memory-bound ops (PAMR mask refinement) have fused Pallas TPU
+    kernels next to their lax reference implementations, behind one API.
+"""
+
+__version__ = "0.1.0"
+
+from wseg_tpu.config import cfg, cfg_from_file, cfg_from_list  # noqa: F401

@@ -1,0 +1,231 @@
+"""Layered configuration system with the reference YAML schema.
+
+Keeps CLI parity with the reference (core/config.py + utils/collections.py):
+code defaults <- YAML file <- ``--set KEY VALUE ...`` overrides, with strict
+unknown-key rejection and literal_eval type coercion, so the reference's
+shipped ``configs/*.yaml`` run unchanged.
+
+Implementation is new: a small immutable-aware AttrDict plus a recursive
+merge.  The schema below mirrors reference core/config.py:24-110.
+"""
+
+from __future__ import annotations
+
+import copy
+from ast import literal_eval
+
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access and a recursive immutability latch."""
+
+    _IMMUTABLE = "__immutable__"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__[AttrDict._IMMUTABLE] = False
+        # promote nested dicts
+        for k, v in list(self.items()):
+            if isinstance(v, dict) and not isinstance(v, AttrDict):
+                self[k] = AttrDict(v)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if self.__dict__[AttrDict._IMMUTABLE]:
+            raise AttributeError(
+                "Attempted to set '{}' on an immutable config".format(name)
+            )
+        self[name] = value
+
+    def __setitem__(self, name, value):
+        if self.__dict__[AttrDict._IMMUTABLE]:
+            raise AttributeError(
+                "Attempted to set '{}' on an immutable config".format(name)
+            )
+        super().__setitem__(name, value)
+
+    def immutable(self, flag: bool) -> None:
+        """Recursively (un)freeze this config tree."""
+        self.__dict__[AttrDict._IMMUTABLE] = flag
+        for v in self.values():
+            if isinstance(v, AttrDict):
+                v.immutable(flag)
+
+    def is_immutable(self) -> bool:
+        return self.__dict__[AttrDict._IMMUTABLE]
+
+    def clone(self) -> "AttrDict":
+        out = AttrDict()
+        for k, v in self.items():
+            if isinstance(v, AttrDict):
+                dict.__setitem__(out, k, v.clone())
+            else:
+                dict.__setitem__(out, k, copy.deepcopy(v))
+        return out
+
+
+def _default_cfg() -> AttrDict:
+    """Defaults matching reference core/config.py:24-110 key-for-key."""
+    c = AttrDict()
+    c.NUM_GPUS = 1  # kept for YAML-compat; on TPU this is the #devices hint
+
+    c.TRAIN = AttrDict()
+    c.TRAIN.BATCH_SIZE = 20
+    c.TRAIN.NUM_EPOCHS = 15
+    c.TRAIN.NUM_WORKERS = 4
+    c.TRAIN.MASK_LOSS = 0.0
+    c.TRAIN.PRETRAIN = 5
+
+    c.TEST = AttrDict()
+    c.TEST.METHOD = "multiscale"  # multiscale | multicrop
+    c.TEST.DATA_ROOT = "/data/your_directory"
+    c.TEST.SCALES = [1, 0.5, 1.5, 2.0]
+    c.TEST.FLIP = False
+    c.TEST.PAD_SIZE = [1024, 1024]
+    c.TEST.CROP_SIZE = [448, 448]
+    c.TEST.CROP_GRID_SIZE = [2, 2]
+    c.TEST.BATCH_SIZE = 4
+    c.TEST.BG_POW = 3
+    c.TEST.NUM_CLASSES = 21
+    c.TEST.USE_GT_LABELS = False
+    c.TEST.FP_CUT_SCORE = 0.1
+    # TPU extension: pad each scale view to its own bucket instead of one
+    # global PAD_SIZE (reference pads every view to 1024^2 regardless of
+    # scale, wasting up to 4x FLOPs on small scales).  Semantics of the
+    # merged mask are unchanged: padding is cut before merging either way.
+    c.TEST.PAD_PER_SCALE = False
+    # TPU extension: round per-view pad sizes up to a multiple of this
+    # (keeps XLA program count bounded and shapes MXU/VPU friendly).
+    c.TEST.PAD_ALIGN = 128
+
+    c.DATASET = AttrDict()
+    c.DATASET.CROP_SIZE = 321
+    c.DATASET.SCALE_FROM = 0.9
+    c.DATASET.SCALE_TO = 1.0
+    c.DATASET.PATH = "data/images"
+    c.DATASET.ROOT = ""
+    c.DATASET.NAME = ""
+    c.DATASET.FILENAME = ""
+
+    c.NET = AttrDict()
+    c.NET.MODEL = "vgg16"
+    c.NET.BACKBONE = "resnet50"
+    c.NET.PRE_WEIGHTS_PATH = ""
+    c.NET.OPT = "SGD"
+    c.NET.LR = 0.001
+    c.NET.BETA1 = 0.5
+    c.NET.MOMENTUM = 0.9
+    c.NET.WEIGHT_DECAY = 1e-5
+    c.NET.LOSS = "SoftMargin"
+    c.NET.MASK_LOSS_BCE = 1.0
+    c.NET.BG_SCORE = 0.1
+    c.NET.FOCAL_P = 3
+    c.NET.FOCAL_LAMBDA = 0.01
+    c.NET.PAMR_KERNEL = [1, 2, 4, 8, 12, 24]
+    c.NET.PAMR_ITER = 10
+    c.NET.SG_PSI = 0.3
+    # TPU extensions
+    c.NET.DTYPE = "bfloat16"  # compute dtype for the backbone/head convs
+    c.NET.PAMR_IMPL = "auto"  # auto | lax | pallas
+
+    c.MASKS = AttrDict()
+    c.MASKS.CRF = AttrDict()
+    c.MASKS.CRF.ALPHA_LOW = 4
+    c.MASKS.CRF.ALPHA_HIGH = 32
+
+    c.CUDA = False  # inert on TPU; kept for YAML-compat
+    c.DEBUG = False
+    c.PYTORCH_VERSION_LESS_THAN_040 = False
+    return c
+
+
+cfg = _default_cfg()
+
+
+def reset_cfg() -> None:
+    """Restore code defaults in-place (used by tests)."""
+    cfg.immutable(False)
+    fresh = _default_cfg()
+    for k in list(cfg.keys()):
+        dict.__delitem__(cfg, k)
+    for k, v in fresh.items():
+        dict.__setitem__(cfg, k, v)
+
+
+def assert_and_infer_cfg(make_immutable: bool = True) -> None:
+    if make_immutable:
+        cfg.immutable(True)
+
+
+def _decode_value(v):
+    if isinstance(v, dict):
+        return AttrDict(v)
+    if not isinstance(v, str):
+        return v
+    try:
+        return literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def _coerce(value_new, value_old, full_key):
+    if type(value_new) is type(value_old):
+        return value_new
+    if isinstance(value_old, str):
+        return str(value_new)
+    if isinstance(value_new, tuple) and isinstance(value_old, list):
+        return list(value_new)
+    if isinstance(value_new, list) and isinstance(value_old, tuple):
+        return tuple(value_new)
+    # int -> float promotion is benign and common in YAML ("LR: 1")
+    if isinstance(value_old, float) and isinstance(value_new, int):
+        return float(value_new)
+    if isinstance(value_old, (bool,)) and isinstance(value_new, int):
+        return bool(value_new)
+    raise ValueError(
+        "Type mismatch ({} vs. {}) for config key: {}".format(
+            type(value_old), type(value_new), full_key
+        )
+    )
+
+
+def _merge_into(a: AttrDict, b: AttrDict, stack=None) -> None:
+    for k, v_raw in a.items():
+        full_key = ".".join((stack or []) + [k])
+        if k not in b:
+            raise KeyError("Non-existent config key: {}".format(full_key))
+        v = _decode_value(copy.deepcopy(v_raw))
+        if isinstance(v, AttrDict):
+            _merge_into(v, b[k], (stack or []) + [k])
+        else:
+            b[k] = _coerce(v, b[k], full_key)
+
+
+def merge_cfg_from_file(cfg_filename: str) -> None:
+    with open(cfg_filename, "r") as f:
+        yaml_cfg = AttrDict(yaml.safe_load(f))
+    _merge_into(yaml_cfg, cfg)
+
+
+def merge_cfg_from_list(cfg_list) -> None:
+    """Merge ``--set K V K V ...`` pairs into the global config."""
+    assert len(cfg_list) % 2 == 0, "--set expects KEY VALUE pairs"
+    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        d = cfg
+        key_list = full_key.split(".")
+        for subkey in key_list[:-1]:
+            assert subkey in d, "Non-existent key: {}".format(full_key)
+            d = d[subkey]
+        subkey = key_list[-1]
+        assert subkey in d, "Non-existent key: {}".format(full_key)
+        d[subkey] = _coerce(_decode_value(v), d[subkey], full_key)
+
+
+cfg_from_file = merge_cfg_from_file
+cfg_from_list = merge_cfg_from_list

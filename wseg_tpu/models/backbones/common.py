@@ -1,0 +1,149 @@
+"""Shared backbone machinery: norm layers with the reference's freezing
+semantics, and LR-group labelling for the 4-group optimizer.
+
+The reference (models/backbones/base_net.py) has three distinct BatchNorm
+behaviours, which we encode as three explicit modules instead of runtime
+train()/eval() mutation:
+
+  * ``FrozenBatchNorm`` — backbone BNs: running stats AND affine params are
+    frozen (base_net.py:93-109).  A constant per-channel affine; its params
+    live in ``params`` but are excluded from the optimizer via the label
+    tree (:func:`param_label`).
+  * ``AffineNorm`` — ASPP BNs: the reference freezes their running stats at
+    PyTorch init (mean 0, var 1) while training the affine, so they compute
+    exactly ``x * gamma / sqrt(1 + eps) + beta`` (SoftMaxAE.py:137 +
+    base_net.py:53-64).  We implement that closed form.
+  * plain ``flax.linen.BatchNorm`` — decoder/GCI/skip BNs: true batch-stat
+    normalisation with running-average updates in train mode.
+
+LR groups (base_net.py:114-153): pretrained weights x1, pretrained biases
+x2, scratch weights x10, scratch biases x20 (ResNet50/101 override to
+1,1,10,10: resnets.py:190-191); frozen layers get no update.  Expressed as
+a pytree of labels consumed by ``optax.multi_transform``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Optimizer group labels
+FROZEN = "frozen"
+PRE_W = "pre_w"     # pretrained weights  (lr x1, weight decay)
+PRE_B = "pre_b"     # pretrained biases   (lr x2 [x1 for resnets], no wd)
+NEW_W = "new_w"     # from-scratch weights (lr x10, weight decay)
+NEW_B = "new_b"     # from-scratch biases  (lr x20 [x10 for resnets], no wd)
+
+# ImageNet normalisation (reference base_net.py:6-29)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with permanently frozen statistics and affine.
+
+    y = (x - mean) / sqrt(var + eps) * scale + bias, all four constants.
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        # fold into a single multiply-add (XLA fuses this into the conv)
+        mul = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        add = bias - mean * mul
+        return x * mul.astype(self.dtype) + add.astype(self.dtype)
+
+
+class AffineNorm(nn.Module):
+    """Trainable affine with identity statistics (frozen-stat BN at init).
+
+    Matches a torch BN kept in eval mode from construction:
+    y = x * scale / sqrt(1 + eps) + bias.
+    """
+    features: int
+    eps: float = 1e-5
+    use_scale: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inv = float(1.0 / jnp.sqrt(1.0 + self.eps))
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            return x * (scale * inv).astype(self.dtype) + bias.astype(
+                self.dtype)
+        # affine=False variant (GCI fc_skip, reference gci.py:41): pure
+        # frozen-stat normalisation with no learnable affine.
+        return x * jnp.asarray(inv, self.dtype)
+
+
+def conv(features, kernel=3, stride=1, dilation=1, use_bias=False,
+         dtype=jnp.float32, name=None, kernel_init=None):
+    """3x3/1x1 conv in NHWC with SAME-style torch padding."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    pad = [((k - 1) // 2 * d, (k - 1) // 2 * d)
+           for k, d in zip(kernel, (dilation, dilation))]
+    return nn.Conv(
+        features, kernel, strides=(stride, stride),
+        padding=pad if kernel != (1, 1) else "VALID",
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias, dtype=dtype, name=name,
+        kernel_init=kernel_init or nn.initializers.he_normal())
+
+
+def normalize_image(x, dtype=jnp.float32):
+    """[0,1] RGB -> ImageNet-normalised, NHWC."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def denormalize_image(x):
+    """ImageNet-normalised -> [0,1] RGB (reference pascal_voc.py:85-100)."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return x.astype(jnp.float32) * std + mean
+
+
+def param_label(path: Sequence[str], backbone_prefix: str = "backbone",
+                frozen_prefixes: Sequence[str] = (),
+                pretrained_prefixes: Sequence[str] = ()) -> str:
+    """Label one param leaf for the 4-group optimizer.
+
+    Args:
+      path: tuple of str keys from the params pytree root to the leaf
+        (leaf name last, e.g. ('backbone', 'b2', 'conv1', 'kernel')).
+      backbone_prefix: top-level module name holding pretrained weights.
+      frozen_prefixes: path prefixes (joined with '/') that are frozen
+        (stems, and all backbone FrozenBatchNorm params).
+      pretrained_prefixes: extra prefixes that count as pretrained even
+        outside the backbone module.
+    """
+    joined = "/".join(path)
+    for p in frozen_prefixes:
+        if joined.startswith(p):
+            return FROZEN
+    # FrozenBatchNorm params are frozen wherever they live
+    if path[-1] in ("mean", "var"):
+        return FROZEN
+    in_backbone = path[0] == backbone_prefix or any(
+        joined.startswith(p) for p in pretrained_prefixes)
+    if in_backbone and path[-2].startswith("frozen_bn") if len(path) > 1 \
+            else False:
+        return FROZEN
+    is_bias = path[-1] in ("bias",)
+    if in_backbone:
+        return PRE_B if is_bias else PRE_W
+    return NEW_B if is_bias else NEW_W
