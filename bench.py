@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark: multi-scale flip inference throughput (img/sec/chip).
+
+Measures the BASELINE.json primary metric — WRN38 flagship, scales
+[1, 0.5, 1.5, 2.0] + flip (8 views/image), reference pad 1024^2 semantics
+with the TPU per-scale pad buckets — steady-state images/sec on one chip.
+
+vs_baseline compares against the PyTorch reference on 2x Titan X.  The
+reference publishes no throughput number (SURVEY.md §6), so the baseline
+constant below is a FLOPs-derived estimate documented here: WRN38 stride-8
+forward at 1024^2 is ~2.2 TFLOP/view; 8 views => ~18 TFLOP/image.  Two
+Titan X (Maxwell, ~6.1 TFLOPs fp32 each at ~40%% conv efficiency) give
+~4.9 TFLOPs sustained => ~0.27 img/s.  Measured numbers for similar
+DeepLab-scale models on that hardware support 0.2-0.4 img/s; we use
+0.3 img/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMG_PER_SEC = 0.3  # 2x Titan X estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.models import get_model
+
+    reset_cfg()
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "bfloat16"
+
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+
+    # per-scale pad buckets for a typical 500x375 VOC image
+    # (scale -> padded size rounded up to 128)
+    base_hw = (384, 512)
+    scales = [1.0, 0.5, 1.5, 2.0]
+    buckets = []
+    for s in scales:
+        h = int(np.ceil(base_hw[0] * s / 128) * 128)
+        w = int(np.ceil(base_hw[1] * s / 128) * 128)
+        buckets.append((h, w))
+
+    from wseg_tpu.engine.train_loop import init_test_variables
+    variables = init_test_variables(model, rng, (1, 128, 128, 3))
+
+    @jax.jit
+    def fwd(v, x):
+        out = model.apply(v, x, train=False)
+        # tiny checksum: fetching it forces the whole program to finish
+        # (block_until_ready is unreliable on relayed backends) while the
+        # masks stay on device
+        chk = out.cls.astype(jnp.float32).sum() + \
+            out.masks.astype(jnp.float32).sum()
+        return out.cls, out.masks, chk
+
+    # one batch per bucket: [view, flipped view]
+    batches = [jnp.asarray(np.random.rand(2, h, w, 3), jnp.float32)
+               for (h, w) in buckets]
+
+    # warmup / compile (first conv program on a fresh process can take
+    # ~1 min on remote-compile backends)
+    for b in batches:
+        _, _, chk = fwd(variables, b)
+        float(chk)
+
+    # steady state: N full images (each = all 4 buckets, 8 views)
+    n_images = 8
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        chks = [fwd(variables, b)[2] for b in batches]
+        for c in chks:
+            float(c)  # force completion of each image's programs
+    dt = time.perf_counter() - t0
+
+    img_per_sec = n_images / dt
+    result = {
+        "metric": "multiscale_inference_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

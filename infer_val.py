@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Multi-scale mask inference (CLI-compatible with reference infer_val.py).
+
+Loads a snapshot, runs multi-scale/flip (or multi-crop) inference over a
+filelist, and writes masks at several foreground thresholds with and
+without CRF.
+"""
+
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+from wseg_tpu.config import cfg, cfg_from_file, cfg_from_list
+from wseg_tpu.opts import get_arguments
+from wseg_tpu.utils.timer import Timer
+
+# (prospect_thresh, heatmap, scoremap, crf) per writer; first `test_id`
+# entries are active (reference infer_val.py:52-57)
+TEST_ID = [0, 1]
+PROSPECT_THRESHS = [0.0, 0.1, 0.3, 0.5, 0.7]
+HEATMAPS = [False] * 5
+SCOREMAPS = [False] * 5
+CRFS = [True, True, False, False, False]
+
+
+def main(argv):
+    args = get_arguments(argv)
+    cfg_from_file(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
+
+    import jax
+
+    from wseg_tpu.data.pascal_voc import labels_from_mask, read_filelist
+    from wseg_tpu.engine.infer import InferenceEngine
+    from wseg_tpu.engine.writers import ResultWriter
+    from wseg_tpu.models import get_model
+    from wseg_tpu.utils.checkpoints import Checkpoint
+
+    model = get_model(cfg.NET, num_classes=int(cfg.TEST.NUM_CLASSES))
+
+    # init then load snapshot
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    ph, pw = (int(p) for p in cfg.TEST.PAD_SIZE)
+    sample = jnp.zeros((1, min(ph, 256), min(pw, 256), 3), jnp.float32)
+    from wseg_tpu.engine.train_loop import init_test_variables
+    variables = init_test_variables(model, rng, sample.shape)
+
+    checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
+    found, states, _ = checkpoint.load(args.resume,
+                                       {"enc": variables["params"]})
+    if found:
+        variables = dict(variables, params=states["enc"])
+        print("Loaded snapshot", args.resume)
+    else:
+        print("WARNING: snapshot not found, using random init")
+
+    engine = InferenceEngine(model, variables, cfg.TEST)
+
+    crf_fn = None
+    if any(CRFS[i] for i in TEST_ID):
+        from wseg_tpu.ops.crf import crf_inference_np
+        crf_fn = crf_inference_np
+
+    writers = []
+    for idx in TEST_ID:
+        thresh = PROSPECT_THRESHS[idx]
+        out_dir = args.mask_output_dir + "_" + str(thresh).split(".")[-1]
+        writers.append(ResultWriter(
+            cfg.TEST, out_dir, prospect_thresh=thresh,
+            heatmap=HEATMAPS[idx], scoremap=SCOREMAPS[idx],
+            use_crf=CRFS[idx], crf_fn=crf_fn))
+
+    entries = read_filelist(args.infer_list, cfg.TEST.DATA_ROOT)
+    timer = Timer()
+    N = len(entries)
+    for i, (img_path, mask_path) in enumerate(entries):
+        image = Image.open(img_path).convert("RGB")
+        gt_mask = np.asarray(Image.open(mask_path), np.int32) \
+            if mask_path and os.path.isfile(mask_path) else None
+        gt_labels = labels_from_mask(gt_mask) if gt_mask is not None \
+            else np.zeros(int(cfg.TEST.NUM_CLASSES) - 1, np.float32)
+
+        merged, labels = engine.run_image(image, gt_labels)
+        image01 = np.asarray(image, np.float32) / 255.0
+        for w in writers:
+            w.save(img_path, image01, merged, gt_mask)
+
+        timer.update_progress(float(i + 1) / N)
+        if i % 100 == 0:
+            print("[{}/{}] finish time: {}".format(
+                i, N, timer.str_est_finish()), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

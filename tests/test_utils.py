@@ -1,0 +1,132 @@
+"""Tests for checkpoints, metrics, CRF, data transforms, multiscale merge."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wseg_tpu.utils.checkpoints import Checkpoint, make_suffix, parse_suffix
+from wseg_tpu.utils.metrics import confusion_matrix, iou_from_confusion
+
+
+def test_suffix_roundtrip():
+    s = make_suffix(20, 0.928)
+    assert s == "e020Xs0.928"
+    e, sc = parse_suffix(s)
+    assert e == 20 and abs(sc - 0.928) < 1e-9
+
+
+def test_checkpoint_save_load_evict(tmp_path):
+    ck = Checkpoint(str(tmp_path), max_n=2)
+    tree = {"a": np.arange(4, dtype=np.float32),
+            "b": {"c": np.ones((2, 2), np.float32)}}
+    for ep in range(4):
+        t = {"a": tree["a"] + ep, "b": {"c": tree["b"]["c"] * ep}}
+        ck.checkpoint(make_suffix(ep, 0.5 + ep / 10), {"enc": t})
+    files = os.listdir(str(tmp_path))
+    # only 2 newest remain
+    assert len([f for f in files if f.startswith("model_enc")]) == 2
+    found, states, _ = ck.load(make_suffix(3, 0.8), {"enc": tree})
+    assert found
+    np.testing.assert_array_equal(states["enc"]["a"], tree["a"] + 3)
+
+    # crash recovery by mtime
+    ck2 = Checkpoint(str(tmp_path), max_n=2)
+    ck2.add_checkpoints()
+    assert len(ck2.checkpoints) == 2
+
+
+def test_confusion_matrix_matches_loop(rng_np):
+    gt = rng_np.randint(0, 21, size=(13, 17))
+    gt[0, :5] = 255  # ambiguous skipped
+    pred = rng_np.randint(0, 21, size=(13, 17))
+    M = confusion_matrix(gt, pred)
+    # slow oracle loop (the reference's algorithm, eval_seg.py:170-183)
+    M2 = np.zeros((21, 21))
+    for g, p in zip(gt.reshape(-1), pred.reshape(-1)):
+        if g < 21:
+            M2[g, p] += 1
+    np.testing.assert_array_equal(M, M2)
+    stats = iou_from_confusion(M)
+    assert 0 <= stats["miou"] <= 100
+
+
+def test_crf_sharpens_probs():
+    from wseg_tpu.ops.crf import crf_inference_np
+    rng = np.random.RandomState(0)
+    H = W = 48
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, W // 2:] = 200  # two homogeneous colour regions
+    probs = np.full((H, W, 2), 0.5, np.float32)
+    probs[:, : W // 2, 0] = 0.7
+    probs[:, : W // 2, 1] = 0.3
+    probs[:, W // 2:, 0] = 0.45
+    probs[:, W // 2:, 1] = 0.55
+    out = crf_inference_np(img, probs, t=5, sxy_bilateral=20.0)
+    assert out.shape == probs.shape
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
+    # mean-field with homogeneous regions sharpens towards the majority
+    assert out[:, : W // 2, 0].mean() > 0.9
+    assert out[:, W // 2:, 1].mean() > 0.9
+
+
+def test_crf_jax_matches_numpy_roughly():
+    import jax
+    from wseg_tpu.ops.crf import crf_inference_jax, crf_inference_np
+    rng = np.random.RandomState(1)
+    H = W = 32
+    img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    probs = rng.dirichlet(np.ones(4), size=(H, W)).astype(np.float32)
+    out_np = crf_inference_np(img, probs, t=3, sxy_bilateral=8.0)
+    out_j = crf_inference_jax(img[None].astype(np.float32),
+                              probs[None], t=3, sxy_bilateral=8.0)
+    out_j = np.asarray(out_j)[0]
+    # same algorithm, different gaussian-filter boundary handling:
+    # require close agreement, not bit equality
+    assert np.abs(out_np - out_j).mean() < 0.02
+
+
+def test_multiscale_merge_identity():
+    from wseg_tpu.data.multiscale import merge_multiscale
+    H, W, C = 20, 24, 4
+    rng = np.random.RandomState(0)
+    m = rng.rand(H + 8, W + 8, C).astype(np.float32)
+    pads = [(4, 4, H, W)]
+    labels = np.ones(C - 1, np.float32)
+    out = merge_multiscale([m], pads, [False], labels, (H, W), bg_pow=1.0)
+    np.testing.assert_allclose(out, m[4:4 + H, 4:4 + W], rtol=1e-5)
+
+
+def test_multiscale_view_generation():
+    from PIL import Image
+    from wseg_tpu.data.multiscale import MultiscaleViews
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(60, 80, 3) * 255).astype(np.uint8))
+    mv = MultiscaleViews([1.0, 0.5], flip=True, pad_size=(128, 128))
+    views, pads, flips = mv.build(img)
+    assert len(views) == 4
+    assert all(v.shape == (128, 128, 3) for v in views)
+    assert flips == [False, True, False, True]
+    # per-scale buckets shrink the padded area
+    mv2 = MultiscaleViews([1.0, 0.5], flip=True, pad_size=(128, 128),
+                          pad_per_scale=True, pad_align=32)
+    views2, pads2, _ = mv2.build(img)
+    assert views2[2].shape[0] <= 64
+
+
+def test_transforms_shapes(tmp_path):
+    from PIL import Image
+    from wseg_tpu.data import transforms as tf
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(70, 90, 3) * 255).astype(np.uint8))
+    mask = Image.fromarray(rng.randint(0, 21, (70, 90)).astype(np.uint8))
+    pipe = tf.Compose([
+        tf.MaskRandResizedCrop(48, 0.9, 1.0),
+        tf.MaskHFlip(),
+        tf.MaskColourJitter(p=1.0),
+        tf.MaskNormalise((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    ])
+    out_img, out_mask = pipe(img, mask, rng)
+    assert out_img.shape == (48, 48, 3)
+    assert out_img.dtype == np.float32
+    assert np.asarray(out_mask).shape == (48, 48)

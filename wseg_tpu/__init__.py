@@ -23,4 +23,13 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("WSEG_PLATFORM"):
+    # Escape hatch for environments whose sitecustomize pre-registers a
+    # platform and ignores JAX_PLATFORMS (e.g. relayed TPU backends):
+    # WSEG_PLATFORM=cpu forces the CPU backend for this process.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["WSEG_PLATFORM"])
+
 from wseg_tpu.config import cfg, cfg_from_file, cfg_from_list  # noqa: F401

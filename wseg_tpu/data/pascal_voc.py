@@ -1,0 +1,129 @@
+"""Pascal VOC (+SBD) dataset: filelists, labels-from-masks, palette.
+
+Replaces reference datasets/pascal_voc.py.  Decode and augmentation run on
+host in numpy/PIL; normalisation happens on device.  Returns NHWC float32.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from wseg_tpu.data import transforms as tf
+
+CLASSES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle",
+    "bus", "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+    "motorbike", "person", "potted-plant", "sheep", "sofa", "train",
+    "tv/monitor", "ambiguous",
+]
+CLASS_IDX = {name: (255 if name == "ambiguous" else i)
+             for i, name in enumerate(CLASSES)}
+NUM_CLASS = 21
+AMBIGUOUS = 255
+
+MEAN = (0.485, 0.456, 0.406)
+STD = (0.229, 0.224, 0.225)
+
+
+def voc_colormap(n: int = 256) -> np.ndarray:
+    """VOC bit-twiddle colormap (reference datasets/utils.py:4-34)."""
+    def bitget(v, i):
+        return (v >> i) & 1
+
+    cmap = np.zeros((n, 3), dtype=np.uint8)
+    for i in range(n):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= bitget(c, 0) << (7 - j)
+            g |= bitget(c, 1) << (7 - j)
+            b |= bitget(c, 2) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+def get_palette() -> List[int]:
+    """Flat 768-entry palette for PIL 'P' images."""
+    return voc_colormap().reshape(-1).tolist()
+
+
+def labels_from_mask(mask: np.ndarray, num_class: int = NUM_CLASS
+                     ) -> np.ndarray:
+    """Multi-hot (C-1,) image labels from a GT index mask, ignoring
+    background and ambiguous (reference datasets/pascal_voc.py:180-199)."""
+    unique = np.unique(mask)
+    unique = unique[(unique != 0) & (unique != AMBIGUOUS)
+                    & (unique < num_class)]
+    labels = np.zeros(num_class - 1, np.float32)
+    labels[unique - 1] = 1.0
+    return labels
+
+
+def read_filelist(path: str, root: str = "") -> List[Tuple[str, str]]:
+    """Parse '<image> <mask>' lines; paths joined onto ``root``."""
+    entries = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(" ")
+            img = os.path.join(root, parts[0].lstrip("/"))
+            msk = os.path.join(root, parts[1].lstrip("/")) \
+                if len(parts) > 1 else ""
+            entries.append((img, msk))
+    return entries
+
+
+class VOCSegmentation:
+    """Training/validation dataset with joint augmentation.
+
+    __getitem__ -> (image f32 HWC in [0,1]-normalised ImageNet space,
+    labels (C-1,), name, mask HW int32).
+    """
+
+    def __init__(self, data_cfg, split: str, root: str = "",
+                 augment: bool = True, seed: int = 0):
+        self.cfg = data_cfg
+        self.root = root or data_cfg.ROOT
+        self.split = split
+        self.entries = read_filelist(
+            os.path.join(self.root, split + ".txt"), self.root)
+        self.augment = augment
+        crop = int(data_cfg.CROP_SIZE)
+        if augment:
+            self.transform = tf.Compose([
+                tf.MaskRandResizedCrop(crop, float(data_cfg.SCALE_FROM),
+                                       float(data_cfg.SCALE_TO)),
+                tf.MaskHFlip(),
+                tf.MaskColourJitter(p=1.0),
+                tf.MaskNormalise(MEAN, STD),
+            ])
+        else:
+            self.transform = tf.Compose([
+                tf.MaskCenterCrop(crop),
+                tf.MaskNormalise(MEAN, STD),
+            ])
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, index: int):
+        img_path, mask_path = self.entries[index]
+        image = Image.open(img_path).convert("RGB")
+        mask = Image.open(mask_path)
+        image, mask = self.transform(image, mask, self.rng)
+        mask_np = np.asarray(mask, np.int32)
+        labels = labels_from_mask(mask_np)
+        name = os.path.basename(img_path)
+        return image, labels, name, mask_np
+
+    def denorm(self, image: np.ndarray) -> np.ndarray:
+        return image * np.asarray(STD, np.float32) + np.asarray(
+            MEAN, np.float32)

@@ -1,0 +1,154 @@
+"""Joint image/mask augmentations on host (PIL + numpy).
+
+Re-implements the reference's torchvision-based pipeline
+(datasets/transforms.py:11-117) without torchvision: random resized crop
+(cubic for image / nearest for mask), horizontal flip, colour jitter,
+ImageNet normalisation.  Each transform takes (PIL image, PIL mask, rng)
+and the pipeline ends with numpy HWC float32 output.
+"""
+
+from __future__ import annotations
+
+import colorsys
+import math
+from typing import Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, image, mask, rng: np.random.RandomState):
+        for t in self.transforms:
+            image, mask = t(image, mask, rng)
+        return image, mask
+
+
+def _rrc_params(w, h, scale, ratio, rng):
+    """torchvision RandomResizedCrop.get_params semantics."""
+    area = w * h
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            i = rng.randint(0, h - ch + 1)
+            j = rng.randint(0, w - cw + 1)
+            return i, j, ch, cw
+    # fallback: central crop clamped to the ratio range
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw = w
+        ch = int(round(cw / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch = h
+        cw = int(round(ch * ratio[1]))
+    else:
+        cw, ch = w, h
+    i = (h - ch) // 2
+    j = (w - cw) // 2
+    return i, j, ch, cw
+
+
+class MaskRandResizedCrop:
+    def __init__(self, size: int, scale_from: float = 0.9,
+                 scale_to: float = 1.0,
+                 ratio: Sequence[float] = (3. / 4., 4. / 3.)):
+        self.size = (size, size)
+        self.scale = (scale_from, scale_to)
+        self.ratio = tuple(ratio)
+
+    def __call__(self, image, mask, rng):
+        w, h = image.size
+        i, j, ch, cw = _rrc_params(w, h, self.scale, self.ratio, rng)
+        box = (j, i, j + cw, i + ch)
+        image = image.crop(box).resize(self.size, Image.BICUBIC)
+        mask = mask.crop(box).resize(self.size, Image.NEAREST)
+        return image, mask
+
+
+class MaskCenterCrop:
+    """Deterministic resize-then-center-crop for eval pipelines."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, image, mask, rng):
+        w, h = image.size
+        s = self.size / min(w, h)
+        nw, nh = int(round(w * s)), int(round(h * s))
+        image = image.resize((nw, nh), Image.BICUBIC)
+        mask = mask.resize((nw, nh), Image.NEAREST)
+        left = (nw - self.size) // 2
+        top = (nh - self.size) // 2
+        box = (left, top, left + self.size, top + self.size)
+        return image.crop(box), mask.crop(box)
+
+
+class MaskHFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, image, mask, rng):
+        if rng.rand() < self.p:
+            image = image.transpose(Image.FLIP_LEFT_RIGHT)
+            mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        return image, mask
+
+
+def _adjust_hue(image: Image.Image, factor: float) -> Image.Image:
+    """Shift hue by ``factor`` (in turns), torchvision semantics."""
+    if abs(factor) < 1e-8:
+        return image
+    h, s, v = image.convert("HSV").split()
+    h_np = np.asarray(h, np.int16)
+    h_np = ((h_np + int(round(factor * 255))) % 256).astype(np.uint8)
+    return Image.merge(
+        "HSV", (Image.fromarray(h_np, "L"), s, v)).convert("RGB")
+
+
+class MaskColourJitter:
+    def __init__(self, p: float = 0.5, brightness: float = 0.3,
+                 contrast: float = 0.3, saturation: float = 0.3,
+                 hue: float = 0.1):
+        self.p = p
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def __call__(self, image, mask, rng):
+        if rng.rand() >= self.p:
+            return image, mask
+        ops = []
+        b = rng.uniform(1 - self.brightness, 1 + self.brightness)
+        c = rng.uniform(1 - self.contrast, 1 + self.contrast)
+        s = rng.uniform(1 - self.saturation, 1 + self.saturation)
+        hshift = rng.uniform(-self.hue, self.hue)
+        ops = [
+            lambda im: ImageEnhance.Brightness(im).enhance(b),
+            lambda im: ImageEnhance.Contrast(im).enhance(c),
+            lambda im: ImageEnhance.Color(im).enhance(s),
+            lambda im: _adjust_hue(im, hshift),
+        ]
+        for k in rng.permutation(4):
+            image = ops[k](image)
+        return image, mask
+
+
+class MaskNormalise:
+    """PIL -> float32 HWC, [0,1] -> ImageNet-normalised; mask -> PIL kept."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, image, mask, rng):
+        arr = np.asarray(image, np.float32) / 255.0
+        arr = (arr - self.mean) / self.std
+        return arr, mask

@@ -1,0 +1,188 @@
+"""Epoch-level training driver (the reference DecTrainer, train.py:73-343).
+
+Responsibilities: data loaders, model/optimizer construction, the
+train-epoch / validation / checkpoint-best cycle, TensorBoard scalars, and
+stdout loss lines every 10 steps with Im/Sec throughput.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wseg_tpu.config import cfg
+from wseg_tpu.data import get_dataloader
+from wseg_tpu.engine.train_loop import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from wseg_tpu.models import get_model
+from wseg_tpu.parallel import make_mesh, make_optimizer, replicate, \
+    shard_batch
+from wseg_tpu.utils.checkpoints import Checkpoint, make_suffix, parse_suffix
+from wseg_tpu.utils.metrics import average_precision
+from wseg_tpu.utils.stat_manager import StatManager
+from wseg_tpu.utils.timer import Timer
+
+
+class DecTrainer:
+    def __init__(self, args):
+        self.args = args
+        self.start_epoch = getattr(args, "start_epoch", 0)
+
+        self.trainloader = get_dataloader(args, cfg, cfg.DATASET.FILENAME)
+        self.valloader = get_dataloader(args, cfg, "val_voc")
+        self.nclass = 21
+
+        self.model = get_model(cfg.NET, num_classes=self.nclass)
+
+        rng = jax.random.PRNGKey(getattr(args, "random_seed", 64))
+        self.rng = rng
+
+        # build a sample batch for init (jitted init; see train_loop)
+        crop = int(cfg.DATASET.CROP_SIZE)
+        sample = {
+            "image": jnp.zeros((1, crop, crop, 3), jnp.float32),
+            "labels": jnp.ones((1, self.nclass - 1), jnp.float32),
+        }
+        from wseg_tpu.engine.train_loop import init_variables
+        variables = init_variables(self.model, rng, sample)
+        self.tx, self.labels_tree = make_optimizer(
+            cfg.NET, cfg.NET.BACKBONE, variables["params"])
+        self.state = create_train_state(self.model, self.tx, rng, sample,
+                                        variables=variables)
+
+        # pretrained backbone weights
+        pre = str(cfg.NET.PRE_WEIGHTS_PATH)
+        if pre and os.path.isfile(pre):
+            from wseg_tpu.utils.torch_convert import load_pretrained_backbone
+            self.state = self.state.replace(params=load_pretrained_backbone(
+                self.state.params, pre, cfg.NET.BACKBONE))
+
+        attn_w = 20.0 if getattr(args, "isattention", False) else 0.0
+        self.train_step = make_train_step(
+            self.model, self.tx, str(cfg.NET.LOSS), attn_w,
+            float(cfg.NET.MASK_LOSS_BCE))
+        self.eval_step = make_eval_step(
+            self.model, str(cfg.NET.LOSS), attn_w,
+            float(cfg.NET.MASK_LOSS_BCE))
+
+        # checkpoints
+        self.checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
+        self.checkpoint.add_model("enc", self.state.params,
+                                  self.state.opt_state)
+        self.best_score = -1e16
+        if getattr(args, "resume", None):
+            found, states, opts = self.checkpoint.load(
+                args.resume, {"enc": self.state.params},
+                {"enc": self.state.opt_state})
+            if found:
+                self.state = self.state.replace(params=states["enc"])
+                if "enc" in opts:
+                    self.state = self.state.replace(opt_state=opts["enc"])
+                epoch, score = parse_suffix(args.resume)
+                self.best_score = score
+                if self.start_epoch == 0:
+                    self.start_epoch = epoch
+                print(f"Resumed from {args.resume} (epoch {epoch})")
+
+        # device mesh: batch sharded over as many devices as divide it
+        n_dev = len(jax.devices())
+        bs = int(cfg.TRAIN.BATCH_SIZE)
+        n_data = max(d for d in range(1, n_dev + 1) if bs % d == 0)
+        if n_data != n_dev:
+            print(f"Using {n_data}/{n_dev} devices "
+                  f"(batch {bs} not divisible by {n_dev})")
+        self.mesh = make_mesh(n_data=n_data,
+                              devices=jax.devices()[:n_data])
+        self.state = replicate(self.mesh, self.state)
+
+        # TensorBoard
+        self.writer = self.writer_val = None
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(os.path.join(args.logdir, "train"))
+            self.writer_val = SummaryWriter(os.path.join(args.logdir, "val"))
+        except Exception as e:  # pragma: no cover
+            print("TensorBoard disabled:", e)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch):
+        db = {"image": batch["image"], "labels": batch["labels"]}
+        return shard_batch(self.mesh, db)
+
+    def train_epoch(self, epoch: int):
+        stat = StatManager()
+        timer = Timer("New Epoch: ")
+        pretrain = epoch < int(cfg.TRAIN.PRETRAIN)
+        mask_on = jnp.asarray(0.0 if pretrain else 1.0)
+
+        for i, batch in enumerate(self.trainloader):
+            db = self._device_batch(batch)
+            self.state, metrics = self.train_step(self.state, db,
+                                                  self.rng, mask_on)
+            for k, v in metrics.items():
+                stat.update_stats(k, float(v))
+
+            if i % 10 == 0:
+                msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)
+                for k in sorted(metrics):
+                    msg += "{}: {:.4f} | ".format(k, float(metrics[k]))
+                ips = (i + 1) * int(cfg.TRAIN.BATCH_SIZE) / \
+                    timer.get_stage_elapsed()
+                print(msg + " | Im/Sec: {:.1f}".format(ips), flush=True)
+
+        for k in stat.vals:
+            print("{}: {:4.3f}".format(k, stat.summarize_key(k)))
+            if self.writer:
+                self.writer.add_scalar("all/" + k,
+                                       stat.summarize_key(k), epoch)
+
+    def validation(self, epoch: int, checkpoint: bool = False):
+        stat = StatManager()
+        targets, preds = [], []
+        for batch in self.valloader:
+            db = self._device_batch(batch)
+            metrics, cls = self.eval_step(self.state, db)
+            for k, v in metrics.items():
+                stat.update_stats(k, float(v))
+            preds.append(1.0 / (1.0 + np.exp(-np.asarray(cls))))
+            targets.append(np.asarray(batch["labels"]))
+
+        targets = np.vstack(targets)
+        preds = np.vstack(preds)
+        n_fg = min(targets.shape[1], preds.shape[1])
+        aps = average_precision(targets[:, :n_fg], preds[:, :n_fg])
+        mean_ap = float(np.mean(aps))
+        print("mAP: {:4.3f}".format(mean_ap))
+        writer = self.writer_val
+        if writer:
+            writer.add_scalar("all_wo_BG/mAP", mean_ap, epoch)
+            for k in stat.vals:
+                writer.add_scalar("all/" + k, stat.summarize_key(k), epoch)
+
+        if checkpoint and epoch >= int(cfg.TRAIN.PRETRAIN):
+            proxy = 1.0 - stat.summarize_key("loss")
+            if writer:
+                writer.add_scalar("all/checkpoint_score", proxy, epoch)
+            self.checkpoint_best(proxy, epoch)
+        return mean_ap
+
+    def checkpoint_best(self, score: float, epoch: int):
+        """Save when the proxy score improves (reference
+        base_trainer.py:83-95)."""
+        if score > self.best_score:
+            self.best_score = score
+            suffix = make_suffix(epoch, score)
+            params = jax.device_get(self.state.params)
+            opt = jax.device_get(self.state.opt_state)
+            self.checkpoint.checkpoint(suffix, {"enc": params},
+                                       {"enc": opt})
+            print("Saved checkpoint", suffix)
+            return True
+        return False

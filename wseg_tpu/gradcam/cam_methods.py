@@ -1,0 +1,301 @@
+"""Class-activation-map toolbox, functional JAX edition.
+
+Replaces the reference's vendored pytorch_grad_cam package
+(pytorch_grad_cam/base_cam.py:9-216 and per-method files).  No hooks: the
+model exposes ``backbone_taps`` (activations) and accepts a ``taps``
+override, so gradients w.r.t. the target activations are a plain
+``jax.grad`` through the head.  Target layer = the backbone output
+('conv6'), matching the reference's ``target_layers=[model.cls_branch[-1]]``
+usage in infer_cam.py:104.
+
+Every method maps (activations A (B,h,w,K), grads dY/dA) -> weights, then
+CAM = scale(relu(sum_k w_k A_k)) resized to the input.  ScoreCAM and
+AblationCAM are gradient-free re-scoring methods expressed as batched
+forwards.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wseg_tpu.ops.resize import resize_bilinear
+
+
+def _scale_cam(cam):
+    """Min-max normalise each map to [0, 1] (base_cam.py scale_cam_image)."""
+    mn = jnp.min(cam, axis=(1, 2), keepdims=True)
+    cam = cam - mn
+    mx = jnp.max(cam, axis=(1, 2), keepdims=True)
+    return cam / (1e-7 + mx)
+
+
+class BaseCAM:
+    """CAM engine over a StageNet.
+
+    Args:
+      model: StageNet.
+      variables: model variables.
+      tap: which backbone tap to treat as the target layer.
+    """
+
+    uses_gradients = True
+
+    def __init__(self, model, variables, tap: str = "conv6"):
+        self.model = model
+        self.variables = variables
+        self.tap = tap
+
+        def taps_fn(image):
+            return model.apply(variables, image, method="backbone_taps")
+
+        def head_cls(tap_value, taps, image):
+            out = model.apply(variables, image,
+                              taps={**taps, self.tap: tap_value},
+                              train=False)
+            return out.cls
+
+        self._taps_fn = jax.jit(taps_fn)
+        self._head_cls = head_cls
+
+    # ---- per-method weighting rule
+    def get_cam_weights(self, acts, grads, cls, target):
+        raise NotImplementedError
+
+    def _acts_grads(self, image, target: int):
+        taps = self._taps_fn(image)
+        acts = taps[self.tap]
+
+        def score(tap_value):
+            cls = self._head_cls(tap_value, taps, image)
+            return jnp.sum(cls[:, target]), cls
+
+        (_, cls), grads = jax.value_and_grad(score, has_aux=True)(acts)
+        return acts, grads, cls, taps
+
+    def __call__(self, image, target_category: int,
+                 eigen_smooth: bool = False) -> np.ndarray:
+        """Returns (B, H, W) CAM in [0, 1] at input resolution."""
+        image = jnp.asarray(image)
+        acts, grads, cls, _ = self._acts_grads(image, int(target_category))
+        acts = acts.astype(jnp.float32)
+        grads = grads.astype(jnp.float32)
+        if eigen_smooth:
+            cam = _svd_projection(acts * self.get_cam_weights(
+                acts, grads, cls, int(target_category))[:, None, None, :])
+        else:
+            w = self.get_cam_weights(acts, grads, cls,
+                                     int(target_category))
+            cam = jnp.sum(acts * w[:, None, None, :], axis=-1)
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+
+def _svd_projection(acts):
+    """First right-singular-vector projection of the (hw, K) activations
+    (reference utils/svd_on_activations.py:4-19)."""
+    b, h, w, k = acts.shape
+    flat = acts.reshape(b, h * w, k)
+    flat = flat - flat.mean(axis=1, keepdims=True)
+    # first principal component via SVD
+    _, _, vt = jnp.linalg.svd(flat, full_matrices=False)
+    proj = jnp.einsum("bnk,bk->bn", flat, vt[:, 0, :])
+    return proj.reshape(b, h, w)
+
+
+class GradCAM(BaseCAM):
+    """weights = mean gradient over H, W (grad_cam.py:5-22)."""
+
+    def get_cam_weights(self, acts, grads, cls, target):
+        return jnp.mean(grads, axis=(1, 2))
+
+
+class GradCAMPlusPlus(BaseCAM):
+    """alpha-weighted positive gradients (grad_cam_plusplus.py:7-32)."""
+
+    def get_cam_weights(self, acts, grads, cls, target):
+        g2 = grads * grads
+        g3 = g2 * grads
+        sum_a = jnp.sum(acts, axis=(1, 2))[:, None, None, :]
+        denom = 2.0 * g2 + sum_a * g3
+        alpha = jnp.where(grads != 0.0, g2 / (denom + 1e-7), 0.0)
+        w = alpha * jax.nn.relu(grads)
+        return jnp.sum(w, axis=(1, 2))
+
+
+class XGradCAM(BaseCAM):
+    """grads * acts / sum(acts) (xgrad_cam.py:5-31)."""
+
+    def get_cam_weights(self, acts, grads, cls, target):
+        sum_a = jnp.sum(acts, axis=(1, 2))
+        return jnp.sum(grads * acts, axis=(1, 2)) / (sum_a + 1e-7)
+
+
+class LayerCAM(BaseCAM):
+    """Per-pixel relu(grad) * act, no pooling (layer_cam.py:8-36)."""
+
+    def __call__(self, image, target_category, eigen_smooth=False):
+        image = jnp.asarray(image)
+        acts, grads, cls, _ = self._acts_grads(image, int(target_category))
+        spatial = jax.nn.relu(grads.astype(jnp.float32)) * \
+            acts.astype(jnp.float32)
+        cam = _svd_projection(spatial) if eigen_smooth else \
+            jnp.sum(spatial, axis=-1)
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+
+class EigenCAM(BaseCAM):
+    """SVD projection of the raw activations (eigen_cam.py:7-20)."""
+    uses_gradients = False
+
+    def __call__(self, image, target_category, eigen_smooth=False):
+        image = jnp.asarray(image)
+        taps = self._taps_fn(image)
+        cam = _svd_projection(taps[self.tap].astype(jnp.float32))
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+
+class EigenGradCAM(BaseCAM):
+    """SVD projection of grad * act (eigen_grad_cam.py:10-21)."""
+
+    def __call__(self, image, target_category, eigen_smooth=False):
+        image = jnp.asarray(image)
+        acts, grads, cls, _ = self._acts_grads(image, int(target_category))
+        cam = _svd_projection(grads.astype(jnp.float32)
+                              * acts.astype(jnp.float32))
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+
+class ScoreCAM(BaseCAM):
+    """Gradient-free: re-score the input masked by each channel's
+    normalised activation; softmax over channel scores = weights
+    (score_cam.py:6-61).  Channels are batched through the model in
+    chunks."""
+    uses_gradients = False
+
+    def __init__(self, model, variables, tap="conv6", batch_size: int = 16):
+        super().__init__(model, variables, tap)
+        self.batch_size = batch_size
+
+        def cls_fn(image):
+            out = model.apply(variables, image, train=False)
+            return out.cls
+
+        self._cls_fn = jax.jit(cls_fn)
+
+    def __call__(self, image, target_category, eigen_smooth=False):
+        image = jnp.asarray(image)
+        assert image.shape[0] == 1, "ScoreCAM runs per image"
+        taps = self._taps_fn(image)
+        acts = taps[self.tap].astype(jnp.float32)  # (1,h,w,K)
+        K = acts.shape[-1]
+        ups = resize_bilinear(acts, (image.shape[1], image.shape[2]),
+                              align_corners=False)
+        mn = jnp.min(ups, axis=(1, 2), keepdims=True)
+        mx = jnp.max(ups, axis=(1, 2), keepdims=True)
+        ups_n = (ups - mn) / (1e-8 + mx - mn)
+
+        scores = []
+        for s in range(0, K, self.batch_size):
+            chunk = ups_n[0, :, :, s:s + self.batch_size]  # (H,W,k)
+            masked = image[0][None] * \
+                jnp.transpose(chunk, (2, 0, 1))[..., None]
+            cls = self._cls_fn(masked)
+            scores.append(cls[:, int(target_category)])
+        w = jax.nn.softmax(jnp.concatenate(scores))[None, :]
+        cam = jnp.sum(acts * w[:, None, None, :], axis=-1)
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+
+class AblationCAM(BaseCAM):
+    """Gradient-free: weight_k = (score - score_with_channel_k_zeroed) /
+    score (ablation_cam.py:8-105), channels ablated in batched chunks."""
+    uses_gradients = False
+
+    def __init__(self, model, variables, tap="conv6", batch_size: int = 16,
+                 ratio_channels_to_ablate: float = 1.0):
+        super().__init__(model, variables, tap)
+        self.batch_size = batch_size
+
+        def ablate_cls(tap_value, taps, image):
+            out = self.model.apply(self.variables, image,
+                                   taps={**taps, self.tap: tap_value},
+                                   train=False)
+            return out.cls
+
+        self._ablate_cls = jax.jit(ablate_cls)
+
+    def __call__(self, image, target_category, eigen_smooth=False):
+        image = jnp.asarray(image)
+        assert image.shape[0] == 1
+        t = int(target_category)
+        taps = self._taps_fn(image)
+        acts = taps[self.tap].astype(jnp.float32)
+        K = acts.shape[-1]
+        base = self._cls_base(taps, image)[0, t]
+
+        drops = []
+        for s in range(0, K, self.batch_size):
+            k = min(self.batch_size, K - s)
+            rep = jnp.repeat(acts, k, axis=0)  # (k,h,w,K)
+            mask = 1.0 - jax.nn.one_hot(jnp.arange(s, s + k), K)
+            rep = rep * mask[:, None, None, :]
+            img_rep = jnp.repeat(image, k, axis=0)
+            taps_rep = {kk: jnp.repeat(v, k, axis=0)
+                        for kk, v in taps.items()}
+            cls = self._ablate_cls(rep, taps_rep, img_rep)
+            drops.append(cls[:, t])
+        abl = jnp.concatenate(drops)
+        w = ((base - abl) / (base + 1e-8))[None, :]
+        cam = jnp.sum(acts * w[:, None, None, :], axis=-1)
+        cam = jax.nn.relu(cam)
+        cam = resize_bilinear(cam[..., None],
+                              (image.shape[1], image.shape[2]),
+                              align_corners=False)[..., 0]
+        return np.asarray(_scale_cam(cam))
+
+    def _cls_base(self, taps, image):
+        out = self.model.apply(self.variables, image, taps=taps,
+                               train=False)
+        return out.cls
+
+
+CAM_METHODS = {
+    "gradcam": GradCAM,
+    "gradcam++": GradCAMPlusPlus,
+    "xgradcam": XGradCAM,
+    "layercam": LayerCAM,
+    "eigencam": EigenCAM,
+    "eigengradcam": EigenGradCAM,
+    "scorecam": ScoreCAM,
+    "ablationcam": AblationCAM,
+}
+
+
+def get_cam_method(name: str):
+    if name not in CAM_METHODS:
+        raise NotImplementedError(
+            f"CAM method '{name}' (have: {sorted(CAM_METHODS)})")
+    return CAM_METHODS[name]

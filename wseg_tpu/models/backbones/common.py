@@ -24,6 +24,7 @@ a pytree of labels consumed by ``optax.multi_transform``.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -75,7 +76,7 @@ class AffineNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        inv = float(1.0 / jnp.sqrt(1.0 + self.eps))
+        inv = 1.0 / math.sqrt(1.0 + self.eps)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,))

@@ -112,3 +112,29 @@ def rescale_as(x, y, align_corners: bool = True):
     Mirrors reference models/SoftMaxAE.py:19-22.
     """
     return resize_bilinear(x, (y.shape[1], y.shape[2]), align_corners)
+
+
+@functools.lru_cache(maxsize=64)
+def _adaptive_pool_mask(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bool mask; row i covers [floor(i*n/m), ceil((i+1)*n/m))."""
+    starts = (np.arange(n_out) * n_in) // n_out
+    ends = -((np.arange(1, n_out + 1) * n_in) // -n_out)  # ceil division
+    j = np.arange(n_in)
+    return (j[None, :] >= starts[:, None]) & (j[None, :] < ends[:, None])
+
+
+def adaptive_max_pool(x, size):
+    """torch.adaptive_max_pool2d semantics for NHWC input, static shapes."""
+    h_out, w_out = int(size[0]), int(size[1])
+    _, h_in, w_in, _ = x.shape
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(
+        x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if h_in != h_out:
+        m = jnp.asarray(_adaptive_pool_mask(h_in, h_out))  # (Ho, Hi)
+        x = jnp.max(jnp.where(m[None, :, :, None, None], x[:, None], neg),
+                    axis=2)
+    if w_in != w_out:
+        m = jnp.asarray(_adaptive_pool_mask(w_in, w_out))  # (Wo, Wi)
+        x = jnp.max(jnp.where(m[None, None, :, :, None], x[:, :, None], neg),
+                    axis=3)
+    return x
