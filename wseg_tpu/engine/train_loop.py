@@ -167,6 +167,27 @@ def make_eval_step(model: StageNet, loss_name: str = "SoftMargin",
     return jax.jit(step_fn)
 
 
+def make_vis_step(model: StageNet):
+    """Forward returning the mask tensors for visualisation:
+    fn(state, batch) -> dict(cam, dec?, pseudo?) (all NHWC float32)."""
+    from wseg_tpu.ops.pseudo_mask import pseudo_gtmask
+
+    def step_fn(state: TrainState, batch):
+        image = batch["image"]
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, image, denormalize_image(image),
+                          batch["labels"], train=False)
+        vis = {"cam": out.masks}
+        if out.masks_dec is not None:
+            vis["dec"] = out.masks_dec
+            vis["pseudo"] = pseudo_gtmask(out.masks_dec)
+        return vis
+
+    return jax.jit(step_fn)
+
+
 def make_infer_fn(model: StageNet):
     """Test-mode forward: fn(variables, image) -> (cls, masks)."""
     @jax.jit

@@ -102,6 +102,14 @@ class DecTrainer:
                               devices=jax.devices()[:n_data])
         self.state = replicate(self.mesh, self.state)
 
+        # fixed-batch visual regression
+        self.fixed_batch = None
+        fbp = getattr(args, "fixed_batch_path", None)
+        if fbp and os.path.isfile(fbp):
+            d = np.load(fbp)
+            self.fixed_batch = {"image": d["image"], "labels": d["labels"]}
+            print("Loading fixed batch from", fbp)
+
         # TensorBoard
         self.writer = self.writer_val = None
         try:
@@ -116,6 +124,46 @@ class DecTrainer:
         db = {"image": batch["image"], "labels": batch["labels"]}
         return shard_batch(self.mesh, db)
 
+    def _maybe_capture_fixed_batch(self, batch):
+        """Persist the first training batch for epoch-over-epoch visual
+        regression (reference train.py:105-110, 191-195)."""
+        if self.fixed_batch is not None:
+            return
+        path = getattr(self.args, "fixed_batch_path", None)
+        self.fixed_batch = {"image": np.asarray(batch["image"]),
+                            "labels": np.asarray(batch["labels"])}
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez(path, **self.fixed_batch)
+
+    def _visualise_fixed_batch(self, epoch: int):
+        """Mask overlays of the fixed batch into TensorBoard
+        (reference base_trainer.py:128-155)."""
+        if self.fixed_batch is None or self.writer is None:
+            return
+        from wseg_tpu.engine.train_loop import make_vis_step
+        from wseg_tpu.engine.writers import _mask2rgb
+        from wseg_tpu.models.backbones.common import denormalize_image
+
+        if not hasattr(self, "_vis_step"):
+            self._vis_step = make_vis_step(self.model)
+        vis = self._vis_step(self.state, self.fixed_batch)
+        image01 = np.clip(np.asarray(
+            denormalize_image(self.fixed_batch["image"])), 0, 1)
+        panels = [image01]
+        for key in ("cam", "dec", "pseudo"):
+            if key not in vis:
+                continue
+            m = np.asarray(vis[key], np.float32)
+            idx = np.argmax(m, axis=-1)
+            conf = np.clip(np.max(m, axis=-1), 0, 1)[..., None]
+            rgb = _mask2rgb(idx) * conf
+            panels.append(0.3 * image01 + 0.7 * rgb)
+        strip = np.concatenate(panels, axis=2)  # (B, H, W*k, 3)
+        grid = np.concatenate(list(strip), axis=0)  # (B*H, W*k, 3)
+        self.writer.add_image("vis/fixed_batch",
+                              np.transpose(grid, (2, 0, 1)), epoch)
+
     def train_epoch(self, epoch: int):
         stat = StatManager()
         timer = Timer("New Epoch: ")
@@ -123,6 +171,7 @@ class DecTrainer:
         mask_on = jnp.asarray(0.0 if pretrain else 1.0)
 
         for i, batch in enumerate(self.trainloader):
+            self._maybe_capture_fixed_batch(batch)
             db = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, db,
                                                   self.rng, mask_on)
@@ -142,6 +191,10 @@ class DecTrainer:
             if self.writer:
                 self.writer.add_scalar("all/" + k,
                                        stat.summarize_key(k), epoch)
+        try:
+            self._visualise_fixed_batch(epoch)
+        except Exception as e:  # visualisation must never kill training
+            print("fixed-batch visualisation failed:", e)
 
     def validation(self, epoch: int, checkpoint: bool = False):
         stat = StatManager()
