@@ -1,0 +1,53 @@
+"""Grad-CAM suite tests: shapes, ranges, and method disagreement."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from wseg_tpu.config import cfg
+from wseg_tpu.gradcam import CAM_METHODS, get_cam_method
+from wseg_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    from wseg_tpu.config import reset_cfg
+    reset_cfg()
+    cfg.NET.MODEL = "bsl"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    from wseg_tpu.engine.train_loop import init_test_variables
+    variables = init_test_variables(model, rng, (1, 48, 48, 3))
+    return model, variables
+
+
+@pytest.mark.parametrize("method", sorted(CAM_METHODS.keys()))
+def test_cam_shapes_and_range(model_and_vars, method, rng_np):
+    model, variables = model_and_vars
+    cam = get_cam_method(method)(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    out = cam(x, target_category=3)
+    assert out.shape == (1, 48, 48)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-5
+
+
+def test_gradcam_differs_between_targets(model_and_vars, rng_np):
+    model, variables = model_and_vars
+    cam = get_cam_method("gradcam")(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    a = cam(x, target_category=0)
+    b = cam(x, target_category=7)
+    assert not np.allclose(a, b)
+
+
+def test_eigen_smooth(model_and_vars, rng_np):
+    model, variables = model_and_vars
+    cam = get_cam_method("gradcam")(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    out = cam(x, target_category=1, eigen_smooth=True)
+    assert out.shape == (1, 48, 48)
+    assert np.isfinite(out).all()

@@ -32,4 +32,20 @@ if _os.environ.get("WSEG_PLATFORM"):
     import jax as _jax
     _jax.config.update("jax_platforms", _os.environ["WSEG_PLATFORM"])
 
+# Persistent compilation cache: remote-compile TPU relays pay ~1 min for
+# the first conv program per process; the cache turns repeat compiles into
+# sub-second loads.  Override location with WSEG_JAX_CACHE; disable with
+# WSEG_JAX_CACHE=off.
+_cache = _os.environ.get("WSEG_JAX_CACHE",
+                         _os.path.expanduser("~/.cache/wseg_tpu_jax"))
+if _cache and _cache != "off":
+    import jax as _jax
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass
+
 from wseg_tpu.config import cfg, cfg_from_file, cfg_from_list  # noqa: F401

@@ -118,6 +118,12 @@ class StageNet(nn.Module):
     sa_dim: int = 1024
     dtype: Any = jnp.float32
 
+    def setup(self):
+        # the backbone lives in setup() so both __call__ and
+        # backbone_taps (Grad-CAM engines) can run it
+        self._backbone_mod = get_backbone(self.backbone, self.dtype,
+                                          module_name="backbone")
+
     def _dropout2d(self, x, rate, train):
         return nn.Dropout(rate, broadcast_dims=(1, 2),
                           deterministic=not train)(x)
@@ -132,8 +138,7 @@ class StageNet(nn.Module):
         test_mode = labels is None
         size_hw = (image.shape[1], image.shape[2])
 
-        bb = get_backbone(self.backbone, self.dtype, module_name="backbone")
-        d = bb(image, train=train)
+        d = self._backbone_mod(image, train=train)
         if taps is not None:
             d = {**d, **taps}
 
@@ -146,8 +151,7 @@ class StageNet(nn.Module):
     def backbone_taps(self, image, train: bool = False):
         """Backbone-only application (for CAM engines); call via
         ``model.apply(vars, image, method='backbone_taps')``."""
-        bb = get_backbone(self.backbone, self.dtype, module_name="backbone")
-        return bb(image, train=train)
+        return self._backbone_mod(image, train=train)
 
     # ------------------------------------------------------------------ ae
     def _forward_ae(self, d, image, image_raw, labels, train, size_hw):
