@@ -80,6 +80,18 @@ def main(argv):
     Image.fromarray(out).save(out_path)
     print("Wrote", out_path)
 
+    # guided backprop + guided grad-cam (reference cam.py:100-128)
+    from wseg_tpu.gradcam import GuidedBackprop
+    gb = GuidedBackprop(model, variables)(x, target_category=target)[0]
+    gb_vis = gb - gb.mean()
+    gb_vis = np.clip(0.5 + 0.1 * gb_vis / (gb_vis.std() + 1e-8), 0, 1)
+    Image.fromarray(np.round(255 * gb_vis).astype(np.uint8)).save(
+        f"{args.method}_gb.jpg")
+    cam_gb = np.clip(gb_vis * m[..., None], 0, 1)
+    Image.fromarray(np.round(255 * cam_gb).astype(np.uint8)).save(
+        f"{args.method}_cam_gb.jpg")
+    print("Wrote", f"{args.method}_gb.jpg", f"{args.method}_cam_gb.jpg")
+
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -24,7 +24,8 @@ def model_and_vars():
     return model, variables
 
 
-@pytest.mark.parametrize("method", sorted(CAM_METHODS.keys()))
+@pytest.mark.parametrize(
+    "method", sorted(set(CAM_METHODS) - {"guidedbackprop"}))
 def test_cam_shapes_and_range(model_and_vars, method, rng_np):
     model, variables = model_and_vars
     cam = get_cam_method(method)(model, variables)
@@ -33,6 +34,24 @@ def test_cam_shapes_and_range(model_and_vars, method, rng_np):
     assert out.shape == (1, 48, 48)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-5
+
+
+def test_guided_backprop(model_and_vars, rng_np):
+    import jax.numpy as jnp
+    from wseg_tpu.gradcam import GuidedBackprop
+    model, variables = model_and_vars
+    gb = GuidedBackprop(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    g = gb(x, target_category=3)
+    assert g.shape == (1, 48, 48, 3)
+    assert np.isfinite(g).all()
+
+    # differs from the vanilla input gradient
+    def score(img):
+        out = model.apply(variables, img, train=False)
+        return jnp.sum(out.cls[:, 3])
+    vanilla = np.asarray(jax.grad(score)(jnp.asarray(x)))
+    assert not np.allclose(g, vanilla)
 
 
 def test_gradcam_differs_between_targets(model_and_vars, rng_np):

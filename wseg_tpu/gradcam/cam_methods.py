@@ -282,6 +282,55 @@ class AblationCAM(BaseCAM):
         return out.cls
 
 
+class GuidedBackprop:
+    """Guided backpropagation: gradient of the target score w.r.t. the
+    input image with guided-relu VJPs (reference
+    pytorch_grad_cam/guided_backprop.py:7-100).
+
+    Returns the raw (B, H, W, 3) gradient image (not min-max scaled; the
+    caller deprocesses as it wishes, matching the reference API)."""
+
+    uses_gradients = True
+
+    def __init__(self, model, variables, tap: str = "conv6"):
+        def score_fn(image, target):
+            out = model.apply(variables, image, train=False)
+            return jnp.sum(out.cls[:, target])
+
+        self._grad_fn = jax.jit(jax.grad(score_fn), static_argnums=(1,))
+
+    def __call__(self, image, target_category: int,
+                 eigen_smooth: bool = False) -> np.ndarray:
+        from wseg_tpu.ops.activations import guided_mode
+        # jit traces lazily: the guided flag must be set during the first
+        # call for the given shape/target, hence the context here
+        with guided_mode():
+            g = self._grad_fn(jnp.asarray(image), int(target_category))
+        return np.asarray(g, np.float32)
+
+
+def aug_smooth(cam_callable, image, target_category: int,
+               eigen_smooth: bool = False) -> np.ndarray:
+    """Test-time-augmentation smoothing: average the CAM over horizontal
+    flips and intensity multipliers [0.9, 1.0, 1.1] (reference
+    base_cam.py:161-188 via ttach)."""
+    image = np.asarray(image)
+    acc = None
+    n = 0
+    for flip in (False, True):
+        for mult in (0.9, 1.0, 1.1):
+            x = image * mult
+            if flip:
+                x = x[:, :, ::-1]
+            m = cam_callable(np.ascontiguousarray(x), target_category,
+                             eigen_smooth=eigen_smooth)
+            if flip:
+                m = m[:, :, ::-1]
+            acc = m if acc is None else acc + m
+            n += 1
+    return acc / n
+
+
 CAM_METHODS = {
     "gradcam": GradCAM,
     "gradcam++": GradCAMPlusPlus,
@@ -292,6 +341,8 @@ CAM_METHODS = {
     "scorecam": ScoreCAM,
     "ablationcam": AblationCAM,
 }
+
+CAM_METHODS["guidedbackprop"] = GuidedBackprop
 
 
 def get_cam_method(name: str):

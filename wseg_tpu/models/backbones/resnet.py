@@ -15,6 +15,8 @@ from typing import Any, Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 from wseg_tpu.models.backbones.common import FrozenBatchNorm, conv
 
 
@@ -32,11 +34,11 @@ class Bottleneck(nn.Module):
         identity = x
         y = conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
         y = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(y)
-        y = nn.relu(y)
+        y = wrelu(y)
         y = conv(self.planes, 3, self.stride, self.dilation,
                  dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(y)
-        y = nn.relu(y)
+        y = wrelu(y)
         y = conv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
         y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
@@ -44,7 +46,7 @@ class Bottleneck(nn.Module):
                             name="downsample_conv")(x)
             identity = FrozenBatchNorm(out_ch, dtype=self.dtype,
                                        name="downsample_bn")(identity)
-        return nn.relu(y + identity)
+        return wrelu(y + identity)
 
 
 class ResNet(nn.Module):
@@ -61,7 +63,7 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        x = wrelu(x)
         # torch MaxPool2d(3, stride 2, padding 1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

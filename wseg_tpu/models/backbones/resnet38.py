@@ -19,6 +19,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 from wseg_tpu.models.backbones.common import FrozenBatchNorm, conv
 
 
@@ -39,7 +41,7 @@ class ResBlock(nn.Module):
             else self.dilation
 
         b = FrozenBatchNorm(in_ch, dtype=self.dtype, name="bn_branch2a")(x)
-        b = nn.relu(b)
+        b = wrelu(b)
         x_bn_relu = b
 
         shortcut = x if same_shape else conv(
@@ -50,7 +52,7 @@ class ResBlock(nn.Module):
                  name="conv_branch2a")(b)
         b = FrozenBatchNorm(self.mid, dtype=self.dtype,
                             name="bn_branch2b1")(b)
-        b = nn.relu(b)
+        b = wrelu(b)
         b = conv(self.out, 3, 1, self.dilation, dtype=self.dtype,
                  name="conv_branch2b1")(b)
         return shortcut + b, x_bn_relu
@@ -69,7 +71,7 @@ class ResBlockBot(nn.Module):
         in_ch = x.shape[-1]
 
         b = FrozenBatchNorm(in_ch, dtype=self.dtype, name="bn_branch2a")(x)
-        b = nn.relu(b)
+        b = wrelu(b)
         x_bn_relu = b
 
         shortcut = conv(self.out, 1, self.stride, dtype=self.dtype,
@@ -79,7 +81,7 @@ class ResBlockBot(nn.Module):
                  name="conv_branch2a")(b)
         b = FrozenBatchNorm(self.out // 4, dtype=self.dtype,
                             name="bn_branch2b1")(b)
-        b = nn.relu(b)
+        b = wrelu(b)
         if self.dropout > 0:
             # torch Dropout2d drops whole channels (reference
             # resnet38d.py:66); broadcast over H, W
@@ -89,7 +91,7 @@ class ResBlockBot(nn.Module):
                  name="conv_branch2b1")(b)
         b = FrozenBatchNorm(self.out // 2, dtype=self.dtype,
                             name="bn_branch2b2")(b)
-        b = nn.relu(b)
+        b = wrelu(b)
         if self.dropout > 0:
             b = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not train)(b)
@@ -147,7 +149,7 @@ class ResNet38(nn.Module):
                            name="b7")(x, train=train)
 
         x = FrozenBatchNorm(4096, dtype=self.dtype, name="bn7")(x)
-        conv6 = nn.relu(x)
+        conv6 = wrelu(x)
 
         return {"conv3": conv3, "conv4": conv4, "conv5": conv5,
                 "conv6": conv6}

@@ -13,6 +13,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 from wseg_tpu.models.backbones.common import conv
 
 
@@ -38,26 +40,26 @@ class VGG16(nn.Module):
             return conv(feat, 3, 1, dilation, use_bias=True, dtype=d,
                         name=name)
 
-        x = nn.relu(c(64, "conv1_1")(x))
-        x = nn.relu(c(64, "conv1_2")(x))
+        x = wrelu(c(64, "conv1_1")(x))
+        x = wrelu(c(64, "conv1_2")(x))
         x = _pool(x, 2)
-        x = nn.relu(c(128, "conv2_1")(x))
-        x = nn.relu(c(128, "conv2_2")(x))
+        x = wrelu(c(128, "conv2_1")(x))
+        x = wrelu(c(128, "conv2_2")(x))
         x = _pool(x, 2)
-        x = nn.relu(c(256, "conv3_1")(x))
-        x = nn.relu(c(256, "conv3_2")(x))
-        x = nn.relu(c(256, "conv3_3")(x))
+        x = wrelu(c(256, "conv3_1")(x))
+        x = wrelu(c(256, "conv3_2")(x))
+        x = wrelu(c(256, "conv3_3")(x))
         conv3 = x
         x = _pool(x, 2)
-        x = nn.relu(c(512, "conv4_1")(x))
-        x = nn.relu(c(512, "conv4_2")(x))
-        x = nn.relu(c(512, "conv4_3")(x))
+        x = wrelu(c(512, "conv4_1")(x))
+        x = wrelu(c(512, "conv4_2")(x))
+        x = wrelu(c(512, "conv4_3")(x))
         x = _pool(x, 1)
-        x = nn.relu(c(512, "conv5_1", 2)(x))
-        x = nn.relu(c(512, "conv5_2", 2)(x))
-        x = nn.relu(c(512, "conv5_3", 2)(x))
-        x = nn.relu(conv(1024, 3, 1, self.fc6_dilation, use_bias=True,
+        x = wrelu(c(512, "conv5_1", 2)(x))
+        x = wrelu(c(512, "conv5_2", 2)(x))
+        x = wrelu(c(512, "conv5_3", 2)(x))
+        x = wrelu(conv(1024, 3, 1, self.fc6_dilation, use_bias=True,
                          dtype=d, name="fc6")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.relu(conv(1024, 1, use_bias=True, dtype=d, name="fc7")(x))
+        x = wrelu(conv(1024, 1, use_bias=True, dtype=d, name="fc7")(x))
         return {"conv3": conv3, "conv6": x}

@@ -24,6 +24,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 
 def pad_to_multiple(x, mult_h: int, mult_w: int, buggy_full_pad: bool = False):
     """Zero-pad NHWC bottom/right so H, W divide the window size.
@@ -55,7 +57,7 @@ class ChannelAttention(nn.Module):
                        name="fc2")
         avg = jnp.mean(x, axis=(1, 2))
         mx = jnp.max(x, axis=(1, 2))
-        out = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
+        out = fc2(wrelu(fc1(avg))) + fc2(wrelu(fc1(mx)))
         return nn.sigmoid(out)[:, None, None, :]  # (B,1,1,C)
 
 

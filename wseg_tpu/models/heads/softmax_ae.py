@@ -16,6 +16,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 from wseg_tpu.models.backbones.common import AffineNorm, conv
 from wseg_tpu.ops.resize import rescale_as
 from wseg_tpu.ops.sg import stochastic_gate
@@ -42,17 +44,17 @@ class ASPP(nn.Module):
             y = conv(256, k, 1, d, dtype=self.dtype,
                      name=f"aspp{i + 1}_conv")(x)
             y = AffineNorm(256, dtype=self.dtype, name=f"aspp{i + 1}_bn")(y)
-            outs.append(nn.relu(y))
+            outs.append(wrelu(y))
         # image-level pooling branch
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = conv(256, 1, dtype=self.dtype, name="gap_conv")(g)
         g = AffineNorm(256, dtype=self.dtype, name="gap_bn")(g)
-        g = nn.relu(g)
+        g = wrelu(g)
         g = jnp.broadcast_to(g, outs[0].shape)
         y = jnp.concatenate(outs + [g], axis=-1)
         y = conv(256, 1, dtype=self.dtype, name="conv1")(y)
         y = AffineNorm(256, dtype=self.dtype, name="bn1")(y)
-        y = nn.relu(y)
+        y = wrelu(y)
         return nn.Dropout(0.5, deterministic=not train)(y)
 
 
@@ -66,7 +68,7 @@ class GCI(nn.Module):
         # deep -> 512 -> global max-pool -> (gamma, beta)
         y = conv(512, 1, dtype=self.dtype, name="fc_deep_conv")(y_deep)
         y = _bn(512, train, self.dtype, "fc_deep_bn")(y)
-        y = nn.relu(y)
+        y = wrelu(y)
         attrs = jnp.max(y, axis=(1, 2))  # (B, 512)
         gamma, beta = jnp.split(attrs, 2, axis=-1)  # (B,256) each
 
@@ -76,11 +78,11 @@ class GCI(nn.Module):
                        name="fc_skip_bn")(x)
 
         x = x * (gamma[:, None, None, :] + 1.0) + beta[:, None, None, :]
-        x = nn.relu(x)
+        x = wrelu(x)
 
         x = conv(256, 1, dtype=self.dtype, name="fc_cls_conv")(x)
         x = _bn(256, train, self.dtype, "fc_cls_bn")(x)
-        return nn.relu(x)
+        return wrelu(x)
 
 
 class SoftMaxAEDecoder(nn.Module):
@@ -99,12 +101,12 @@ class SoftMaxAEDecoder(nn.Module):
         # skip connection (reference SoftMaxAE.py:199-201)
         x2_x = conv(48, 1, dtype=self.dtype, name="fc8_skip_conv")(conv3)
         x2_x = _bn(48, train, self.dtype, "fc8_skip_bn")(x2_x)
-        x2_x = nn.relu(x2_x)
+        x2_x = wrelu(x2_x)
         x_up = rescale_as(x, x2_x)
         x = conv(256, 3, dtype=self.dtype, name="fc8_x_conv")(
             jnp.concatenate([x_up, x2_x], axis=-1))
         x = _bn(256, train, self.dtype, "fc8_x_bn")(x)
-        x = nn.relu(x)
+        x = wrelu(x)
 
         # deep-feature context for shallow features
         x2 = GCI(dtype=self.dtype, name="shallow_mask")(conv3, x,
@@ -117,11 +119,11 @@ class SoftMaxAEDecoder(nn.Module):
         # decoder convs
         x = conv(256, 3, dtype=self.dtype, name="last_conv1")(x)
         x = _bn(256, train, self.dtype, "last_bn1")(x)
-        x = nn.relu(x)
+        x = wrelu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = conv(256, 3, dtype=self.dtype, name="last_conv2")(x)
         x = _bn(256, train, self.dtype, "last_bn2")(x)
-        x = nn.relu(x)
+        x = wrelu(x)
         x = nn.Dropout(0.1, deterministic=not train)(x)
         x = nn.Conv(self.num_classes - 1, (1, 1), dtype=self.dtype,
                     name="last_conv3")(x)

@@ -25,6 +25,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from wseg_tpu.ops.activations import relu as wrelu
+
 from wseg_tpu.models.backbones import get_backbone
 from wseg_tpu.models.heads.attention import (
     ChannelAttention,
@@ -304,7 +306,7 @@ class StageNet(nn.Module):
 
         logits = fc8(x)  # (B, h, w, C-1)
         masks = resize_bilinear(logits, size_hw, align_corners=True)
-        masks = nn.relu(masks.astype(jnp.float32))
+        masks = wrelu(masks.astype(jnp.float32))
         z = jnp.max(masks, axis=(1, 2), keepdims=True)
         masks = masks / (1e-5 + z)
         bg = jnp.full_like(masks[..., :1], self.bg_score)
@@ -335,7 +337,7 @@ class StageNet(nn.Module):
                     kernel_init=nn.initializers.xavier_uniform(),
                     name="fc8")(x)
         if spec.mask_branch_relu:
-            x = nn.relu(x)
+            x = wrelu(x)
         if spec.bg == "const_one":
             x = jnp.concatenate([jnp.ones_like(x[..., :1]), x], axis=-1)
         logits = x.astype(jnp.float32)
@@ -382,19 +384,19 @@ class StageNet(nn.Module):
         """SEAM-style pixel-correlation module (reference
         models/CAM_CASA_WGAP_PCM.py:185-237)."""
         h, w = logits.shape[1], logits.shape[2]
-        cam_d = nn.relu(jax.lax.stop_gradient(logits))
+        cam_d = wrelu(jax.lax.stop_gradient(logits))
         cam_max = jnp.max(cam_d, axis=(1, 2), keepdims=True) + 1e-5
-        cam_norm = nn.relu(cam_d - 1e-5) / cam_max
+        cam_norm = wrelu(cam_d - 1e-5) / cam_max
         fg = cam_norm[..., 1:]
         bg = 1.0 - jnp.max(fg, axis=-1, keepdims=True)
         fg_max = jnp.max(fg, axis=-1, keepdims=True)
         fg = jnp.where(fg < fg_max, 0.0, fg)
         cam_norm = jnp.concatenate([bg, fg], axis=-1)
 
-        f83 = nn.relu(nn.Conv(64, (1, 1), use_bias=False, dtype=self.dtype,
+        f83 = wrelu(nn.Conv(64, (1, 1), use_bias=False, dtype=self.dtype,
                               name="f8_3")(
             jax.lax.stop_gradient(d["conv4"])))
-        f84 = nn.relu(nn.Conv(128, (1, 1), use_bias=False,
+        f84 = wrelu(nn.Conv(128, (1, 1), use_bias=False,
                               dtype=self.dtype, name="f8_4")(
             jax.lax.stop_gradient(d["conv5"])))
         xs = resize_bilinear(image, (h, w), align_corners=True)
@@ -406,7 +408,7 @@ class StageNet(nn.Module):
         b = f.shape[0]
         fv = f.reshape(b, h * w, -1).astype(jnp.float32)
         fv = fv / (jnp.linalg.norm(fv, axis=-1, keepdims=True) + 1e-5)
-        aff = nn.relu(jnp.einsum("bnc,bmc->bnm", fv, fv,
+        aff = wrelu(jnp.einsum("bnc,bmc->bnm", fv, fv,
                                  preferred_element_type=jnp.float32))
         aff = aff / (jnp.sum(aff, axis=1, keepdims=True) + 1e-5)
         cam = cam_norm.reshape(b, h * w, -1)
@@ -437,9 +439,9 @@ class StageNet(nn.Module):
             m = resize_bilinear(lg, size_hw, align_corners=True)
             m = m.astype(jnp.float32)
             if lv == "conv6":
-                m = nn.relu(m)
+                m = wrelu(m)
             else:
-                m = m + nn.relu(m)
+                m = m + wrelu(m)
             masks_levels.append(m)
         masks = sum(masks_levels) / len(masks_levels)
         z = jnp.max(masks, axis=(1, 2), keepdims=True)
