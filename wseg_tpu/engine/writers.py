@@ -111,3 +111,35 @@ class ResultWriter:
             bgpix = pred == 0
             sm[bgpix] = 1 - sm[bgpix]
             np.save(os.path.join(self.root, "scoremap", name + ".npy"), sm)
+
+
+class PAMRWriter:
+    """Per-iteration PAMR visualiser: for each image, writes the GT
+    overlay and one overlay per refinement iteration
+    (reference utils/inference_tools.py:303-346)."""
+
+    def __init__(self, out_path: str):
+        self.root = out_path
+        os.makedirs(out_path, exist_ok=True)
+
+    def _overlay(self, mask_idx: np.ndarray, image01: np.ndarray,
+                 alpha: float = 0.5) -> np.ndarray:
+        return alpha * image01 + (1 - alpha) * _mask2rgb(mask_idx)
+
+    def save_image(self, img_name: str, image01: np.ndarray,
+                   per_iter_masks, gt_mask: Optional[np.ndarray] = None):
+        """per_iter_masks: sequence of (H, W, C) float mask snapshots."""
+        name = os.path.basename(img_name).split(".")[0]
+        if gt_mask is not None:
+            out = np.round(255 * self._overlay(
+                gt_mask.astype(np.uint8), image01)).astype(np.uint8)
+            Image.fromarray(out).save(
+                os.path.join(self.root, name + "_gt.png"))
+        for it, m in enumerate(per_iter_masks):
+            idx = np.argmax(m, axis=-1).astype(np.uint8)
+            ambiguous = m.sum(-1) == 0
+            idx[ambiguous] = 255
+            out = np.round(255 * self._overlay(idx, image01)).astype(
+                np.uint8)
+            Image.fromarray(out).save(
+                os.path.join(self.root, name + "_{:02d}.png".format(it)))
