@@ -62,8 +62,10 @@ def main(argv):
 
     crf_fn = None
     if any(CRFS[i] for i in TEST_ID):
-        from wseg_tpu.ops.crf import crf_inference_np
-        crf_fn = crf_inference_np
+        # exact permutohedral CRF (native/densecrf); falls back to the
+        # sparse-tap numpy approximation if the .so cannot be built
+        from wseg_tpu.ops.crf_native import crf_inference_native
+        crf_fn = crf_inference_native
 
     writers = []
     for idx in TEST_ID:

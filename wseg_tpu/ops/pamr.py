@@ -124,11 +124,12 @@ def pamr(im, mask, dilations: Sequence[int] = DEFAULT_DILATIONS,
     im = resize_bilinear(im, (mask.shape[1], mask.shape[2]),
                          align_corners=True)
     aff = pamr_affinity(im, dilations)
-    if impl in ("pallas", "auto"):
-        try:
-            from wseg_tpu.ops.pamr_pallas import pamr_propagate_pallas
-            return pamr_propagate_pallas(aff, mask, dilations, num_iter)
-        except Exception:
-            if impl == "pallas":
-                raise
+    if impl == "auto":
+        # Pallas kernels lower only on TPU; lax path elsewhere.  The
+        # backend query is trace-time Python, so 'auto' is resolved when
+        # the surrounding jit traces.
+        impl = "pallas" if jax.default_backend() == "tpu" else "lax"
+    if impl == "pallas":
+        from wseg_tpu.ops.pamr_pallas import pamr_propagate_pallas
+        return pamr_propagate_pallas(aff, mask, dilations, num_iter)
     return pamr_propagate(aff, mask, dilations, num_iter)
