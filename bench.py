@@ -89,8 +89,12 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
     main()
+    # the relayed TPU backend leaves non-daemon service threads running;
+    # exit explicitly so the driver's bench invocation terminates
+    import os
+    os._exit(0)

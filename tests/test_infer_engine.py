@@ -115,3 +115,23 @@ def test_space_sharded_inference(rng_np):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(masks_s), np.asarray(masks_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_device_merge_matches_host_merge(rng_np):
+    """TPU-fast device merge must closely match the reference host merge."""
+    eng = _engine(pad_per_scale=True)
+    cfg.TEST.USE_GT_LABELS = True
+    eng.cfg = cfg.TEST
+    img = _image(rng_np)
+    gt = np.ones(20, np.float32)
+
+    host_merged, _ = eng.run_image(img, gt)
+    cfg.TEST.DEVICE_MERGE = True
+    eng.cfg = cfg.TEST
+    dev_merged, _ = eng.run_image(img, gt)
+    assert dev_merged.shape == host_merged.shape
+    # epsilon-level deviation from the different bilinear chains
+    diff = np.abs(dev_merged - host_merged)
+    assert diff.mean() < 0.01, diff.mean()
+    agree = (np.argmax(dev_merged, -1) == np.argmax(host_merged, -1)).mean()
+    assert agree > 0.95, agree

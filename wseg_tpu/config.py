@@ -100,6 +100,9 @@ def _default_cfg() -> AttrDict:
     # scale, wasting up to 4x FLOPs on small scales).  Semantics of the
     # merged mask are unchanged: padding is cut before merging either way.
     c.TEST.PAD_PER_SCALE = False
+    # TPU extension: merge scale/flip views on device and fetch only the
+    # merged map (the reference merges on host, fetching every view).
+    c.TEST.DEVICE_MERGE = False
     # TPU extension: round per-view pad sizes up to a multiple of this
     # (keeps XLA program count bounded and shapes MXU/VPU friendly).
     c.TEST.PAD_ALIGN = 128

@@ -18,6 +18,10 @@ import jax
 import numpy as np
 from PIL import Image
 
+import functools
+
+import jax.numpy as jnp
+
 from wseg_tpu.data.multiscale import (
     CropViews,
     MultiscaleViews,
@@ -25,6 +29,55 @@ from wseg_tpu.data.multiscale import (
     merge_multiscale,
 )
 from wseg_tpu.engine.train_loop import make_infer_fn
+from wseg_tpu.ops.resize import resize_bilinear
+
+
+def _tent_matrix(dst_n, src_n, dst_start, dst_len, src_start, src_len,
+                 flip):
+    """(dst_n, src_n) bilinear-sampling matrix with TRACED window params.
+
+    Maps the dst window [dst_start, dst_start+dst_len) onto the src window
+    [src_start, src_start+src_len) with half-pixel sampling and edge
+    clamping (= resize of the cut view, the reference merge semantics,
+    utils/inference_tools.py:137-143), optionally mirrored.  Rows outside
+    the dst window replicate the window edge; they are cut on host.
+    Built from broadcasted iota so the program stays static-shaped while
+    the geometry is dynamic per image.
+    """
+    i = jax.lax.broadcasted_iota(jnp.float32, (dst_n, 1), 0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, src_n), 1)
+    y = (i - dst_start + 0.5) * (src_len / dst_len) - 0.5
+    y = jnp.where(flip, src_len - 1.0 - y, y)
+    y = jnp.clip(y, 0.0, src_len - 1.0) + src_start
+    return jax.nn.relu(1.0 - jnp.abs(y - j))
+
+
+@functools.partial(jax.jit, static_argnames=("merge_hw",))
+def _device_merge_bucket(masks, src_windows, dst_window, flips, merge_hw):
+    """Window-to-window resize + accumulate of one bucket's views.
+
+    Args:
+      masks: (B, Hs, Ws, C) per-view mask scores (padded canvas).
+      src_windows: (B, 4) float (pt, pl, h, w) view window per view.
+      dst_window: (4,) float window of the scale-1.0 view in the merge
+        canvas — all views map onto it.
+      flips: (B,) bool.
+      merge_hw: static merge canvas size.
+    Returns:
+      (merge_H, merge_W, C) sum over views.
+    """
+    b, hs, ws, c = masks.shape
+    H, W = merge_hw
+
+    def one(view, srcw, flip):
+        A_h = _tent_matrix(H, hs, dst_window[0], dst_window[2],
+                           srcw[0], srcw[2], False)
+        A_w = _tent_matrix(W, ws, dst_window[1], dst_window[3],
+                           srcw[1], srcw[3], flip)
+        out = jnp.einsum("oh,hwc->owc", A_h, view.astype(jnp.float32))
+        return jnp.einsum("pw,owc->opc", A_w, out)
+
+    return jnp.sum(jax.vmap(one)(masks, src_windows, flips), axis=0)
 
 
 class InferenceEngine:
@@ -81,6 +134,8 @@ class InferenceEngine:
         """Returns (merged (H,W,C) mask scores, predicted labels (C-1,))."""
         w, h = image.size
         if self.method == "multiscale":
+            if bool(getattr(self.cfg, "DEVICE_MERGE", False)):
+                return self._run_image_device_merge(image, gt_labels)
             views, pads, flips = self.views.build(image)
             cls_views, mask_views = self._forward_views(views)
             labels = self.predict_labels(cls_views, gt_labels)
@@ -91,4 +146,55 @@ class InferenceEngine:
             cls_views, mask_views = self._forward_views(views)
             labels = self.predict_labels(cls_views, gt_labels)
             merged = merge_crops(mask_views, coords, flips, labels, (h, w))
+        return merged, labels
+
+    def _run_image_device_merge(self, image: Image.Image,
+                                gt_labels: np.ndarray):
+        """TPU-fast path: views are merged on device at the scale-1.0
+        padded resolution and only the single merged map is fetched
+        (host merge fetches every view — 8 full-resolution tensors).
+
+        Deviations vs the reference merge (utils/inference_tools.py:
+        134-161), both bilinear-chain effects at the epsilon level:
+        padding is removed by weight renormalisation instead of cutting,
+        and the final resize to the original size happens once from the
+        merge resolution instead of per view.
+        """
+        import cv2
+
+        w, h = image.size
+        views, pads, flips = self.views.build(image)
+        shapes = self.views.view_shapes(w, h)
+        merge_hw = shapes[0]  # scale-1.0 bucket
+
+        # group by padded shape, like _forward_views
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i, v in enumerate(views):
+            buckets.setdefault(v.shape[:2], []).append(i)
+
+        cls_views = [None] * len(views)
+        dst_window = jnp.asarray(pads[0], jnp.float32)  # scale-1.0 window
+        sum_m = None
+        for shape, idxs in buckets.items():
+            batch = np.stack([views[i] for i in idxs])
+            src_windows = np.asarray([pads[i] for i in idxs], np.float32)
+            fl = np.asarray([flips[i] for i in idxs])
+            cls, masks = self.infer(self.variables, batch)
+            for k, i in enumerate(idxs):
+                cls_views[i] = np.asarray(cls[k], np.float32)
+            m = _device_merge_bucket(masks, jnp.asarray(src_windows),
+                                     dst_window, jnp.asarray(fl),
+                                     tuple(merge_hw))
+            sum_m = m if sum_m is None else sum_m + m
+
+        merged = np.asarray(sum_m, np.float32) / len(views)
+        labels = self.predict_labels(cls_views, gt_labels)
+
+        # extract the scale-1.0 valid window and resize to the original
+        pt, pl, vh, vw = pads[0]
+        merged = merged[pt:pt + vh, pl:pl + vw]
+        merged = cv2.resize(merged, (w, h),
+                            interpolation=cv2.INTER_LINEAR)
+        merged[..., 1:] *= labels[None, None, :]
+        merged[..., 0] = np.power(merged[..., 0], float(self.cfg.BG_POW))
         return merged, labels
