@@ -47,44 +47,55 @@ def _shift(padded, pad: int, dy: int, dx: int, h: int, w: int):
 def pamr_affinity(im, dilations: Sequence[int] = DEFAULT_DILATIONS):
     """Compute the 8*len(dilations) tap affinity from an NHWC guide image.
 
+    Internally computes in a channels-major (B, K, H, W) layout: TPU pads
+    the minor dimension to 128 lanes, so keeping K=3 (or T=48) minor would
+    inflate every intermediate by up to 42x in physical memory.
+
     Args:
       im: (B, H, W, K) guide (RGB) image at mask resolution.
     Returns:
       (B, H, W, T) softmax affinities, T = 8 * len(dilations).
     """
-    im = im.astype(jnp.float32)
-    b, h, w, k = im.shape
+    im = jnp.transpose(im.astype(jnp.float32), (0, 3, 1, 2))  # (B,K,H,W)
+    b, k, h, w = im.shape
     pad = max(dilations)
-    padded = jnp.pad(im, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    padded = jnp.pad(im, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
                      mode="edge")
 
-    diffs = []  # per tap: (B,H,W,K) centre-minus-neighbour
+    def shift(dy, dx):
+        return padded[:, :, pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+    diffs = []  # per tap: (B,K,H,W) centre-minus-neighbour
     neigh = []  # per (dilation, 9-point) tap incl. centre, for the std
     for d in dilations:
         for dy, dx in _OFFSETS:
-            n = _shift(padded, pad, dy * d, dx * d, h, w)
+            n = shift(dy * d, dx * d)
             diffs.append(im - n)
             neigh.append(n)
         neigh.append(im)  # centre tap, once per dilation (torch kernel row 4)
 
-    diffs = jnp.stack(diffs, axis=-1)  # (B,H,W,K,T)
-    neigh = jnp.stack(neigh, axis=-1)  # (B,H,W,K,9D)
+    diffs = jnp.stack(diffs, axis=1)  # (B,T,K,H,W)
+    neigh = jnp.stack(neigh, axis=1)  # (B,9D,K,H,W)
 
     # Bessel-corrected std over all 9*D taps jointly (torch .std(2) default)
-    n_taps = neigh.shape[-1]
-    mean = jnp.mean(neigh, axis=-1, keepdims=True)
-    var = jnp.sum(jnp.square(neigh - mean), axis=-1, keepdims=True) / (
+    n_taps = neigh.shape[1]
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    var = jnp.sum(jnp.square(neigh - mean), axis=1, keepdims=True) / (
         n_taps - 1)
-    std = jnp.sqrt(var)  # (B,H,W,K,1)
+    std = jnp.sqrt(var)  # (B,1,K,H,W)
 
     aff = -jnp.abs(diffs) / (1e-8 + 0.1 * std)
-    aff = jnp.mean(aff, axis=3)  # mean over colour channels -> (B,H,W,T)
-    return jax.nn.softmax(aff, axis=-1)
+    aff = jnp.mean(aff, axis=2)  # mean over colour -> (B,T,H,W)
+    aff = jax.nn.softmax(aff, axis=1)
+    return jnp.transpose(aff, (0, 2, 3, 1))  # public NHWC contract
 
 
 def pamr_propagate(aff, mask, dilations: Sequence[int] = DEFAULT_DILATIONS,
                    num_iter: int = 10):
     """Run ``num_iter`` Jacobi propagation steps of ``mask`` under ``aff``.
+
+    Channels-major internally (see :func:`pamr_affinity`): the C=21 minor
+    dim would be lane-padded to 128, making every shifted read 6x larger.
 
     Args:
       aff:  (B, H, W, T) affinities from :func:`pamr_affinity`.
@@ -92,21 +103,24 @@ def pamr_propagate(aff, mask, dilations: Sequence[int] = DEFAULT_DILATIONS,
     Returns:
       (B, H, W, C) refined masks.
     """
-    mask = mask.astype(jnp.float32)
-    b, h, w, c = mask.shape
+    mask = jnp.transpose(mask.astype(jnp.float32), (0, 3, 1, 2))
+    aff_t = jnp.transpose(aff.astype(jnp.float32), (0, 3, 1, 2))
+    b, c, h, w = mask.shape
     pad = max(dilations)
     taps = [(dy * d, dx * d) for d in dilations for dy, dx in _OFFSETS]
 
     def step(m, _):
-        padded = jnp.pad(m, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        padded = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
                          mode="edge")
         acc = jnp.zeros_like(m)
         for t, (dy, dx) in enumerate(taps):
-            acc = acc + aff[..., t:t + 1] * _shift(padded, pad, dy, dx, h, w)
+            win = padded[:, :, pad + dy:pad + dy + h,
+                         pad + dx:pad + dx + w]
+            acc = acc + aff_t[:, t:t + 1] * win
         return acc, None
 
     out, _ = jax.lax.scan(step, mask, None, length=num_iter)
-    return out
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def pamr(im, mask, dilations: Sequence[int] = DEFAULT_DILATIONS,
