@@ -20,7 +20,7 @@ def get_args(argv):
     parser.add_argument("--method", type=str, default="gradcam",
                         choices=["gradcam", "gradcam++", "scorecam",
                                  "xgradcam", "ablationcam", "eigencam",
-                                 "eigengradcam", "layercam"])
+                                 "eigengradcam", "layercam", "fullgrad"])
     parser.add_argument("--target-category", type=int, default=None)
     parser.add_argument("--eigen_smooth", action="store_true")
     args = parser.parse_args(argv)

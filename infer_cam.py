@@ -22,7 +22,8 @@ def get_cam_arguments(argv):
     parser.add_argument("--method", type=str, default="gradcam",
                         choices=["gradcam", "gradcam++", "scorecam",
                                  "xgradcam", "ablationcam", "eigencam",
-                                 "eigengradcam", "layercam"])
+                                 "eigengradcam", "layercam", "fullgrad",
+                                 "guidedbackprop"])
     parser.add_argument("--eigen_smooth", action="store_true")
     parser.add_argument("--aug_smooth", action="store_true")
     args = parser.parse_args(argv)

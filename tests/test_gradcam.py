@@ -70,3 +70,14 @@ def test_eigen_smooth(model_and_vars, rng_np):
     out = cam(x, target_category=1, eigen_smooth=True)
     assert out.shape == (1, 48, 48)
     assert np.isfinite(out).all()
+
+
+def test_fullgrad(model_and_vars, rng_np):
+    from wseg_tpu.gradcam.fullgrad import FullGrad
+    model, variables = model_and_vars
+    fg = FullGrad(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    out = fg(x, target_category=2)
+    assert out.shape == (1, 48, 48)
+    assert np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-5

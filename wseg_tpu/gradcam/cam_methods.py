@@ -345,6 +345,14 @@ CAM_METHODS = {
 CAM_METHODS["guidedbackprop"] = GuidedBackprop
 
 
+def _register_fullgrad():
+    from wseg_tpu.gradcam.fullgrad import FullGrad
+    CAM_METHODS["fullgrad"] = FullGrad
+
+
+_register_fullgrad()
+
+
 def get_cam_method(name: str):
     if name not in CAM_METHODS:
         raise NotImplementedError(
