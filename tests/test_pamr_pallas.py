@@ -37,3 +37,17 @@ def test_pallas_nondivisible_height(rng_np):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pamr_propagate_pallas(aff, mask, dil, num_iter=2))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_affinity_matches_lax(rng_np):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from wseg_tpu.ops.pamr import pamr_affinity
+    from wseg_tpu.ops.pamr_pallas import pamr_affinity_pallas
+
+    dil = (1, 2, 4)
+    im = rng_np.rand(2, 24, 24, 3).astype(np.float32)
+    want = np.asarray(pamr_affinity(im, dil))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pamr_affinity_pallas(im, dil))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)

@@ -137,13 +137,17 @@ def pamr(im, mask, dilations: Sequence[int] = DEFAULT_DILATIONS,
     """
     im = resize_bilinear(im, (mask.shape[1], mask.shape[2]),
                          align_corners=True)
-    aff = pamr_affinity(im, dilations)
     if impl == "auto":
         # Pallas kernels lower only on TPU; lax path elsewhere.  The
         # backend query is trace-time Python, so 'auto' is resolved when
         # the surrounding jit traces.
         impl = "pallas" if jax.default_backend() == "tpu" else "lax"
     if impl == "pallas":
-        from wseg_tpu.ops.pamr_pallas import pamr_propagate_pallas
+        from wseg_tpu.ops.pamr_pallas import (
+            pamr_affinity_pallas,
+            pamr_propagate_pallas,
+        )
+        aff = pamr_affinity_pallas(im, dilations)
         return pamr_propagate_pallas(aff, mask, dilations, num_iter)
+    aff = pamr_affinity(im, dilations)
     return pamr_propagate(aff, mask, dilations, num_iter)

@@ -1,22 +1,21 @@
-"""Fused Pallas TPU kernel for PAMR mask propagation.
+"""Fused Pallas TPU kernels for PAMR (affinity + propagation).
 
-The XLA fallback (wseg_tpu/ops/pamr.py) lowers the 48-tap shift-accumulate
-to hundreds of separate HBM-bound ops in a (B,H,W,C) layout whose C=21
-minor dim wastes 107/128 lanes — measured 158 ms for 10 iterations at
-(8,96,96,21) on v5e.  This kernel:
+Why not XLA: the 48-tap shift-accumulate lowers to ~500 separate
+HBM-bound ops whose C=21/K=3 minor dims get padded to 128 lanes (up to
+42x physical inflation) — measured 156-336 ms for 10 iterations at
+(8,96,96,21) on v5e depending on layout.  Pallas versions tried:
 
-  * works in a (C, H, W) per-batch layout: W on the 128-lane minor dim,
-    H on sublanes, channels as the major dim — full lane utilisation;
-  * holds the edge-padded mask, the affinities, and the accumulator in
-    VMEM for the whole tap loop (one mask read + one affinity read per
-    iteration, the theoretical minimum);
-  * loops the 48 taps with lax.fori_loop over an SMEM offset table, so
-    the unrolled-slice register pressure that OOMed a naive version
-    never materialises.
+  * unaligned VMEM window slices    -> Mosaic per-element copies, 281 ms
+  * per-tap lane/sublane rotates    -> 96 full-array copies/step, 137 ms
+  * THIS: the W-shift is a matmul against a constant (Wp, W) band matrix
+    on the MXU; the H-shift is one sublane rotate per distinct dy (13,
+    not 48); all ``num_iter`` Jacobi iterations run inside ONE kernel
+    with the padded mask living in VMEM scratch (borders re-replicated
+    in-kernel), so HBM sees each input exactly once.
 
 PAMR runs at mask (stride 4-8) resolution (reference
-models/SoftMaxAE.py:176-179), i.e. H, W <= ~130, so one batch item's
-buffers (~7 MB) fit VMEM comfortably.  Grid = (B,).
+models/SoftMaxAE.py:176-179), i.e. H, W <= ~130; per-batch-item buffers
+are a few MB.  Grid = (B,).
 """
 
 from __future__ import annotations
@@ -38,51 +37,101 @@ def _taps(dilations: Sequence[int]):
     return [(dy * d, dx * d) for d in dilations for dy, dx in _OFFSETS]
 
 
-def _step_kernel(mask_pad_ref, aff_ref, out_ref, *, taps, pad, h, w):
-    """One Jacobi step for one batch item.
-
-    mask_pad_ref: (1, C, H + 2*pad, W + 2*pad) edge-padded mask (VMEM)
-    aff_ref:      (1, n_taps, H, W) affinities (VMEM)
-    out_ref:      (1, C, H, W)
-
-    The tap loop is unrolled with STATIC offsets (Mosaic supports
-    unaligned static slices; dynamic sublane slices would need 8-aligned
-    starts).  Accumulation goes through out_ref read-modify-write per tap
-    so no long-lived vector values pile up in registers (a version that
-    accumulated in an SSA value spilled 175 MB).
-    """
-    out_ref[...] = jnp.zeros_like(out_ref)
+def _dy_groups(taps):
+    """Group tap indices by their row offset: [(dy, [(t, dx), ...]), ...]"""
+    groups = {}
     for t, (dy, dx) in enumerate(taps):
-        win = mask_pad_ref[0, :, pad + dy:pad + dy + h,
-                           pad + dx:pad + dx + w]
-        a = aff_ref[0, t, :, :]
-        out_ref[0] += a[None, :, :] * win
+        groups.setdefault(dy, []).append((t, dx))
+    return sorted(groups.items())
+
+
+def _shift_matrices(dxs, w, pad):
+    """(n_dx, Wp, W) band matrices: (R @ S[d])[.., j] = R[.., j+pad+dx]."""
+    wp = w + 2 * pad
+    mats = np.zeros((len(dxs), wp, w), np.float32)
+    for i, dx in enumerate(dxs):
+        for j in range(w):
+            mats[i, j + pad + dx, j] = 1.0
+    return mats
+
+
+def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref, *,
+                      groups, dx_index, pad, h, w, num_iter):
+    """All Jacobi iterations for one batch item.
+
+    shift_ref: (n_dx, Wp, W) constant column-shift matrices (VMEM)
+    mask_ref:  (1, C, H, W) input mask
+    aff_ref:   (1, T, H, W) affinities
+    out_ref:   (1, C, H, W)
+    mpad_ref:  (C, Hp, Wp) VMEM scratch holding the edge-padded mask
+    """
+    hp = h + 2 * pad
+
+    def write_padded(src):
+        """src (C, H, W) -> mpad with edge replication."""
+        mpad_ref[:, pad:pad + h, pad:pad + w] = src
+        top = src[:, 0:1, :]
+        bot = src[:, h - 1:h, :]
+        mpad_ref[:, :pad, pad:pad + w] = jnp.broadcast_to(
+            top, (src.shape[0], pad, w))
+        mpad_ref[:, pad + h:, pad:pad + w] = jnp.broadcast_to(
+            bot, (src.shape[0], pad, w))
+        left = mpad_ref[:, :, pad:pad + 1]
+        mpad_ref[:, :, :pad] = jnp.broadcast_to(
+            left, (src.shape[0], hp, pad))
+        right = mpad_ref[:, :, pad + w - 1:pad + w]
+        mpad_ref[:, :, pad + w:] = jnp.broadcast_to(
+            right, (src.shape[0], hp, pad))
+
+    write_padded(mask_ref[0])
+
+    def one_iter(_, carry):
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        m = mpad_ref[...]  # (C, Hp, Wp)
+        for dy, group in groups:
+            # one sublane rotate per distinct row offset
+            r = pltpu.roll(m, (hp - (pad + dy)) % hp, 1)[:, :h, :]
+            for t, dx in group:
+                s = shift_ref[dx_index[dx]]  # (Wp, W)
+                p = jax.lax.dot_general(
+                    r, s, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (C, h, W)
+                acc = acc + aff_ref[0, t][None, :, :] * p
+        write_padded(acc)
+        return carry
+
+    jax.lax.fori_loop(0, num_iter, one_iter, 0)
+    out_ref[0] = mpad_ref[:, pad:pad + h, pad:pad + w]
 
 
 def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
                           num_iter: int = 10):
-    """Drop-in replacement for ops.pamr.pamr_propagate.
-
-    Args/returns in the public NHWC layout; the kernel-internal CHW
-    transposes are fused by XLA around the scan.
-    """
+    """Drop-in replacement for ops.pamr.pamr_propagate (NHWC contract)."""
     taps = _taps(tuple(dilations))
     pad = max(dilations)
     b, h, w, c = mask.shape
     t = aff.shape[-1]
     assert t == len(taps), (t, len(taps))
 
+    groups = _dy_groups(taps)
+    dxs = sorted({dx for (dy, dx) in taps})
+    dx_index = {dx: i for i, dx in enumerate(dxs)}
+    shift = jnp.asarray(_shift_matrices(dxs, w, pad))
+
     mask_chw = jnp.transpose(mask.astype(jnp.float32), (0, 3, 1, 2))
     aff_thw = jnp.transpose(aff.astype(jnp.float32), (0, 3, 1, 2))
 
-    kernel = functools.partial(_step_kernel, taps=taps, pad=pad, h=h, w=w)
+    kernel = functools.partial(_propagate_kernel, groups=groups,
+                               dx_index=dx_index, pad=pad, h=h, w=w,
+                               num_iter=num_iter)
 
-    step = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, c, h + 2 * pad, w + 2 * pad),
-                         lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((len(dxs), w + 2 * pad, w),
+                         lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, h, w), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -90,12 +139,80 @@ def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
         out_specs=pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-    )
-
-    def one_iter(m, _):
-        mp = jnp.pad(m, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
-                     mode="edge")
-        return step(mp, aff_thw), None
-
-    out, _ = jax.lax.scan(one_iter, mask_chw, None, length=num_iter)
+        scratch_shapes=[pltpu.VMEM((c, h + 2 * pad, w + 2 * pad),
+                                   jnp.float32)],
+    )(shift, mask_chw, aff_thw)
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+# --------------------------------------------------------------- affinity
+def _affinity_kernel(im_pad_ref, aff_ref, *, dilations, pad, h, w):
+    """Affinity for one batch item, fully fused.
+
+    im_pad_ref: (1, K, Hp, Wp) edge-padded guide image (VMEM)
+    aff_ref:    (1, T, H, W) output softmax affinities
+    """
+    im = im_pad_ref[0]  # (K, Hp, Wp)
+    hp, wp = h + 2 * pad, w + 2 * pad
+    centre = im[:, pad:pad + h, pad:pad + w]
+
+    def win(dy, dx):
+        r = pltpu.roll(im, (hp - (pad + dy)) % hp, 1)
+        r = pltpu.roll(r, (wp - (pad + dx)) % wp, 2)
+        return r[:, :h, :w]
+
+    taps9 = [(dy * d, dx * d) for d in dilations
+             for dy, dx in list(_OFFSETS) + [(0, 0)]]
+    n9 = len(taps9)
+    s = jnp.zeros_like(centre)
+    s2 = jnp.zeros_like(centre)
+    for dy, dx in taps9:
+        n = win(dy, dx)
+        s = s + n
+        s2 = s2 + n * n
+    mean = s / n9
+    var = (s2 - n9 * mean * mean) / (n9 - 1)
+    inv_sigma = 1.0 / (1e-8 + 0.1 * jnp.sqrt(jnp.maximum(var, 0.0)))
+
+    taps8 = [(dy * d, dx * d) for d in dilations for dy, dx in _OFFSETS]
+    for t, (dy, dx) in enumerate(taps8):
+        diff = jnp.abs(centre - win(dy, dx)) * inv_sigma
+        aff_ref[0, t] = -jnp.mean(diff, axis=0)
+
+    # softmax over the tap axis (major dim)
+    mx = aff_ref[0, 0]
+    for t in range(1, len(taps8)):
+        mx = jnp.maximum(mx, aff_ref[0, t])
+    tot = jnp.zeros_like(mx)
+    for t in range(len(taps8)):
+        e = jnp.exp(aff_ref[0, t] - mx)
+        aff_ref[0, t] = e
+        tot = tot + e
+    inv = 1.0 / tot
+    for t in range(len(taps8)):
+        aff_ref[0, t] *= inv
+
+
+def pamr_affinity_pallas(im, dilations=(1, 2, 4, 8, 12, 24)):
+    """Fused affinity: one kernel per batch item; NHWC public contract."""
+    dilations = tuple(dilations)
+    b, h, w, k = im.shape
+    pad = max(dilations)
+    t = 8 * len(dilations)
+    im_chw = jnp.transpose(im.astype(jnp.float32), (0, 3, 1, 2))
+    im_pad = jnp.pad(im_chw, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                     mode="edge")
+
+    kernel = functools.partial(_affinity_kernel, dilations=dilations,
+                               pad=pad, h=h, w=w)
+    aff = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, k, h + 2 * pad, w + 2 * pad),
+                               lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, t, h, w), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, w), jnp.float32),
+    )(im_pad)
+    return jnp.transpose(aff, (0, 2, 3, 1))
