@@ -98,3 +98,31 @@ def test_seam_step_runs(rng_np):
                           jnp.asarray(1.0))
     for k in ("loss", "loss_cls", "loss_er", "loss_mask"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
+
+
+def test_segmentation_ce_matches_torch(rng_np):
+    from wseg_tpu.losses import segmentation_ce_loss
+    B, H, W, C = 2, 6, 6, 5
+    logits = rng_np.randn(B, H, W, C).astype(np.float32)
+    target = rng_np.randint(0, C, (B, H, W))
+    target[0, 0, :3] = 255
+    got = float(segmentation_ce_loss(logits, target))
+    lt = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+    want = float(F.cross_entropy(lt, torch.from_numpy(target).long(),
+                                 ignore_index=255))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_fpn_head(rng_np):
+    import jax.numpy as jnp
+    from wseg_tpu.models.heads.fpn import FPN
+    taps = {
+        "conv3": jnp.asarray(rng_np.rand(1, 16, 16, 32), jnp.float32),
+        "conv4": jnp.asarray(rng_np.rand(1, 8, 8, 64), jnp.float32),
+        "conv6": jnp.asarray(rng_np.rand(1, 8, 8, 128), jnp.float32),
+    }
+    fpn = FPN(out_channels=64)
+    v = fpn.init(jax.random.PRNGKey(0), taps)
+    out = fpn.apply(v, taps)
+    assert out.shape == (1, 16, 16, 64)
+    assert np.isfinite(np.asarray(out)).all()

@@ -67,6 +67,31 @@ def mask_loss_ce(mask_logits, pseudo_gt, ignore_all_zero: bool = True):
     return jnp.sum(ce) / denom
 
 
+def segmentation_ce_loss(logits, target, ignore_index: int = 255):
+    """Pixel CE with ignore label (reference losses/__init__.py:64-77
+    SegmentationLosses.CrossEntropyLoss; kept for inventory parity).
+
+    Args: logits (B, H, W, C); target (B, H, W) int.
+    """
+    logits = logits.astype(jnp.float32)
+    valid = target != ignore_index
+    tgt = jnp.where(valid, target, 0)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(log_probs, tgt[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, ce, 0.0)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def segmentation_focal_loss(logits, target, gamma: float = 2.0,
+                            alpha: float = 0.5, ignore_index: int = 255):
+    """Focal variant (reference losses/__init__.py:79-95)."""
+    logpt = -segmentation_ce_loss(logits, target, ignore_index)
+    pt = jnp.exp(logpt)
+    if alpha is not None:
+        logpt = logpt * alpha
+    return -jnp.power(1.0 - pt, gamma) * logpt
+
+
 def attention_loss(attn_map):
     """L2 penalty on the SA softmax map: sum over positions of a^2
     (reference models/CAM_SA.py:116)."""

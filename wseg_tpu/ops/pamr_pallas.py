@@ -95,6 +95,7 @@ def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref, *,
                 s = shift_ref[dx_index[dx]]  # (Wp, W)
                 p = jax.lax.dot_general(
                     r, s, (((2,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)  # (C, h, W)
                 acc = acc + aff_ref[0, t][None, :, :] * p
         write_padded(acc)
