@@ -157,3 +157,18 @@ def test_grain_loader(tmp_path):
     # factory falls back cleanly
     dl = make_train_loader(ds, 2, use_grain=False)
     assert len(list(dl)) == 3
+
+
+def test_orbax_backend(tmp_path):
+    from wseg_tpu.utils.orbax_io import OrbaxCheckpoint
+    ck = OrbaxCheckpoint(str(tmp_path / "orbax"), max_n=2)
+    tree = {"a": np.arange(4, dtype=np.float32)}
+    for ep in range(3):
+        ck.checkpoint("e%03dXs0.5" % ep, {"enc": {"a": tree["a"] + ep}})
+    assert len(ck.checkpoints) == 2
+    ok, states, _ = ck.load("e002Xs0.5", {"enc": tree})
+    assert ok
+    np.testing.assert_array_equal(states["enc"]["a"], tree["a"] + 2)
+    ck2 = OrbaxCheckpoint(str(tmp_path / "orbax"), max_n=2)
+    ck2.add_checkpoints()
+    assert len(ck2.checkpoints) == 2
