@@ -55,8 +55,8 @@ def _shift_matrices(dxs, w, pad):
     return mats
 
 
-def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref, *,
-                      groups, dx_index, pad, h, w, num_iter):
+def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref,
+                      acc_ref, *, groups, dx_index, pad, h, w, num_iter):
     """All Jacobi iterations for one batch item.
 
     shift_ref: (n_dx, Wp, W) constant column-shift matrices (VMEM)
@@ -86,19 +86,22 @@ def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref, *,
     write_padded(mask_ref[0])
 
     def one_iter(_, carry):
-        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-        m = mpad_ref[...]  # (C, Hp, Wp)
+        # accumulate through a ref so rolled/projected temporaries die
+        # immediately (SSA accumulation kept ~33 MB of vectors live and
+        # blew the scoped-VMEM stack)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
         for dy, group in groups:
             # one sublane rotate per distinct row offset
-            r = pltpu.roll(m, (hp - (pad + dy)) % hp, 1)[:, :h, :]
+            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp,
+                           1)[:, :h, :]
             for t, dx in group:
                 s = shift_ref[dx_index[dx]]  # (Wp, W)
                 p = jax.lax.dot_general(
                     r, s, (((2,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)  # (C, h, W)
-                acc = acc + aff_ref[0, t][None, :, :] * p
-        write_padded(acc)
+                acc_ref[...] += aff_ref[0, t][None, :, :] * p
+        write_padded(acc_ref[...])
         return carry
 
     jax.lax.fori_loop(0, num_iter, one_iter, 0)
@@ -141,7 +144,10 @@ def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, h + 2 * pad, w + 2 * pad),
-                                   jnp.float32)],
+                                   jnp.float32),
+                        pltpu.VMEM((c, h, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(shift, mask_chw, aff_thw)
     return jnp.transpose(out, (0, 2, 3, 1))
 
