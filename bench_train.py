@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Secondary benchmark: flagship training-step throughput (img/s/chip).
+
+WRN38 + CAM_CASA_WGAP_tf, batch 8, crop 384 (configs/voc_resnet38.yaml),
+bf16 compute, Pallas PAMR.  Prints one JSON line like bench.py (the
+driver's headline metric stays the inference bench in bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.engine.train_loop import (
+        create_train_state,
+        init_variables,
+        make_train_step,
+    )
+    from wseg_tpu.models import get_model
+    from wseg_tpu.parallel import make_optimizer
+
+    reset_cfg()
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "bfloat16"
+    cfg.NET.PAMR_IMPL = "auto"
+
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    bs, crop = 8, 384
+    host = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(host.rand(bs, crop, crop, 3), jnp.float32),
+        "labels": jnp.ones((bs, 20), jnp.float32),
+    }
+    variables = init_variables(model, rng, batch)
+    tx, _ = make_optimizer(cfg.NET, "resnet38", variables["params"])
+    state = create_train_state(model, tx, rng, batch, variables=variables)
+    step = make_train_step(model, tx)
+
+    state, metrics = step(state, batch, rng, jnp.asarray(1.0))
+    float(metrics["loss"])  # force compile + first run
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, rng, jnp.asarray(1.0))
+        float(metrics["loss"])  # forces completion on relayed backends
+    dt = (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "metric": "flagship_train_step_images_per_sec_per_chip",
+        "value": round(bs / dt, 3),
+        "unit": "img/s",
+        "step_ms": round(dt * 1000, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    import os
+    os._exit(0)

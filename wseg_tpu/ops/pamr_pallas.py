@@ -5,13 +5,14 @@ HBM-bound ops whose C=21/K=3 minor dims get padded to 128 lanes (up to
 42x physical inflation) — measured 156-336 ms for 10 iterations at
 (8,96,96,21) on v5e depending on layout.  Pallas versions tried:
 
-  * unaligned VMEM window slices    -> Mosaic per-element copies, 281 ms
-  * per-tap lane/sublane rotates    -> 96 full-array copies/step, 137 ms
-  * THIS: the W-shift is a matmul against a constant (Wp, W) band matrix
-    on the MXU; the H-shift is one sublane rotate per distinct dy (13,
-    not 48); all ``num_iter`` Jacobi iterations run inside ONE kernel
-    with the padded mask living in VMEM scratch (borders re-replicated
-    in-kernel), so HBM sees each input exactly once.
+  * unaligned VMEM window slices     -> Mosaic per-element copies, 281 ms
+  * shifts as MXU band matmuls       -> exact f32 needs 6-pass HIGHEST
+                                        precision, 239 ms
+  * THIS: one sublane rotate per distinct dy (13, not 48) + one lane
+    rotate per tap, offset-0 slices (always aligned), accumulation
+    through a VMEM ref, and all ``num_iter`` Jacobi iterations inside
+    ONE kernel with the padded mask living in VMEM scratch (borders
+    re-replicated in-kernel) — HBM sees each input exactly once.
 
 PAMR runs at mask (stride 4-8) resolution (reference
 models/SoftMaxAE.py:176-179), i.e. H, W <= ~130; per-batch-item buffers
@@ -45,21 +46,10 @@ def _dy_groups(taps):
     return sorted(groups.items())
 
 
-def _shift_matrices(dxs, w, pad):
-    """(n_dx, Wp, W) band matrices: (R @ S[d])[.., j] = R[.., j+pad+dx]."""
-    wp = w + 2 * pad
-    mats = np.zeros((len(dxs), wp, w), np.float32)
-    for i, dx in enumerate(dxs):
-        for j in range(w):
-            mats[i, j + pad + dx, j] = 1.0
-    return mats
-
-
-def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref,
-                      acc_ref, *, groups, dx_index, pad, h, w, num_iter):
+def _propagate_kernel(mask_ref, aff_ref, out_ref, mpad_ref,
+                      acc_ref, *, groups, pad, h, w, num_iter):
     """All Jacobi iterations for one batch item.
 
-    shift_ref: (n_dx, Wp, W) constant column-shift matrices (VMEM)
     mask_ref:  (1, C, H, W) input mask
     aff_ref:   (1, T, H, W) affinities
     out_ref:   (1, C, H, W)
@@ -85,22 +75,24 @@ def _propagate_kernel(shift_ref, mask_ref, aff_ref, out_ref, mpad_ref,
 
     write_padded(mask_ref[0])
 
+    wp = w + 2 * pad
+
     def one_iter(_, carry):
-        # accumulate through a ref so rolled/projected temporaries die
-        # immediately (SSA accumulation kept ~33 MB of vectors live and
-        # blew the scoped-VMEM stack)
+        # accumulate through a ref so rolled temporaries die immediately
+        # (SSA accumulation kept ~33 MB of vectors live and blew the
+        # scoped-VMEM stack)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
         for dy, group in groups:
             # one sublane rotate per distinct row offset
-            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp,
-                           1)[:, :h, :]
+            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp, 1)
             for t, dx in group:
-                s = shift_ref[dx_index[dx]]  # (Wp, W)
-                p = jax.lax.dot_general(
-                    r, s, (((2,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (C, h, W)
-                acc_ref[...] += aff_ref[0, t][None, :, :] * p
+                # lane rotate per tap; slices from 0 are aligned.
+                # (A shifts-as-MXU-matmul variant was tried: exact
+                # f32 needs Precision.HIGHEST which costs 6 bf16
+                # passes and did 144x the necessary arithmetic —
+                # 239 ms vs 137 ms for the rotate formulation.)
+                win = pltpu.roll(r, (wp - (pad + dx)) % wp, 2)[:, :h, :w]
+                acc_ref[...] += aff_ref[0, t][None, :, :] * win
         write_padded(acc_ref[...])
         return carry
 
@@ -118,23 +110,17 @@ def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
     assert t == len(taps), (t, len(taps))
 
     groups = _dy_groups(taps)
-    dxs = sorted({dx for (dy, dx) in taps})
-    dx_index = {dx: i for i, dx in enumerate(dxs)}
-    shift = jnp.asarray(_shift_matrices(dxs, w, pad))
 
     mask_chw = jnp.transpose(mask.astype(jnp.float32), (0, 3, 1, 2))
     aff_thw = jnp.transpose(aff.astype(jnp.float32), (0, 3, 1, 2))
 
     kernel = functools.partial(_propagate_kernel, groups=groups,
-                               dx_index=dx_index, pad=pad, h=h, w=w,
-                               num_iter=num_iter)
+                               pad=pad, h=h, w=w, num_iter=num_iter)
 
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((len(dxs), w + 2 * pad, w),
-                         lambda bi: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, h, w), lambda bi: (bi, 0, 0, 0),
@@ -148,7 +134,7 @@ def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
                         pltpu.VMEM((c, h, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(shift, mask_chw, aff_thw)
+    )(mask_chw, aff_thw)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
