@@ -141,6 +141,36 @@ class MaskColourJitter:
         return image, mask
 
 
+class RandomGaussianBlur:
+    """Random-radius Gaussian blur (reference datasets/transforms.py:107,
+    shipped but unused by the default pipeline)."""
+
+    def __init__(self, p: float = 0.5, max_radius: float = 1.0):
+        self.p = p
+        self.max_radius = max_radius
+
+    def __call__(self, image, mask, rng):
+        from PIL import ImageFilter
+        if rng.rand() < self.p:
+            image = image.filter(ImageFilter.GaussianBlur(
+                radius=rng.rand() * self.max_radius))
+        return image, mask
+
+
+class MaskToTensor:
+    """Index mask -> one-hot (C, H, W)-style stack, NHWC here
+    (reference datasets/transforms.py:88-96, unused by default)."""
+
+    def __init__(self, num_classes: int = 21):
+        self.num_classes = num_classes
+
+    def __call__(self, image, mask, rng):
+        m = np.asarray(mask, np.int64)
+        onehot = (m[None, :, :] ==
+                  np.arange(self.num_classes)[:, None, None])
+        return image, onehot.astype(np.int32)
+
+
 class MaskNormalise:
     """PIL -> float32 HWC, [0,1] -> ImageNet-normalised; mask -> PIL kept."""
 
