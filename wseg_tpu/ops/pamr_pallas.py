@@ -83,15 +83,15 @@ def _propagate_kernel(mask_ref, aff_ref, out_ref, mpad_ref,
         # scoped-VMEM stack)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
         for dy, group in groups:
-            # one sublane rotate per distinct row offset
-            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp, 1)
+            # one sublane rotate per distinct row offset, then drop the
+            # halo rows (offset-0 slice, aligned) so the per-tap lane
+            # rotates move ~1/3 fewer bytes — the rotates are the cost
+            # here (a shifts-as-MXU-matmul variant needed 6-pass HIGHEST
+            # precision for exactness and was slower)
+            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp,
+                           1)[:, :h, :]
             for t, dx in group:
-                # lane rotate per tap; slices from 0 are aligned.
-                # (A shifts-as-MXU-matmul variant was tried: exact
-                # f32 needs Precision.HIGHEST which costs 6 bf16
-                # passes and did 144x the necessary arithmetic —
-                # 239 ms vs 137 ms for the rotate formulation.)
-                win = pltpu.roll(r, (wp - (pad + dx)) % wp, 2)[:, :h, :w]
+                win = pltpu.roll(r, (wp - (pad + dx)) % wp, 2)[:, :, :w]
                 acc_ref[...] += aff_ref[0, t][None, :, :] * win
         write_padded(acc_ref[...])
         return carry
