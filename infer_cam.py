@@ -26,6 +26,11 @@ def get_cam_arguments(argv):
                                  "guidedbackprop"])
     parser.add_argument("--eigen_smooth", action="store_true")
     parser.add_argument("--aug_smooth", action="store_true")
+    parser.add_argument("--pad-align", type=int, default=64,
+                        help="Pad each image up to a multiple of this so "
+                             "XLA compiles one program per size bucket "
+                             "(0 = native sizes, compiles per image "
+                             "shape)")
     args = parser.parse_args(argv)
     check_global_arguments(args)
     return args
@@ -80,13 +85,20 @@ def main(argv):
             np.ones(num_classes - 1, np.float32)
 
         arr = (np.asarray(image, np.float32) / 255.0 - mean) / std
-        x = arr[None]
         h, w = arr.shape[:2]
+        align = int(getattr(args, "pad_align", 0))
+        if align > 0:
+            ph = -h % align
+            pw = -w % align
+            arr_in = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+        else:
+            arr_in = arr
+        x = arr_in[None]
         masks_pred = np.zeros((h, w, num_classes), np.float32)
         for label in np.nonzero(labels)[0]:
             m = cam(x, target_category=int(label),
                     eigen_smooth=args.eigen_smooth)
-            masks_pred[..., int(label) + 1] = m[0]
+            masks_pred[..., int(label) + 1] = m[0, :h, :w]
 
         image01 = np.asarray(image, np.float32) / 255.0
         writer.save(img_path, image01, masks_pred, gt_mask)
