@@ -73,14 +73,23 @@ def main():
         _, _, chk = fwd(variables, b)
         float(chk)
 
-    # steady state: N full images (each = all 4 buckets, 8 views)
-    n_images = 8
+    @jax.jit
+    def combine(total, a, b, c, d):
+        return total + a + b + c + d
+
+    # steady state: N full images (each = all 4 buckets, 8 views),
+    # fully pipelined; ONE final scalar fetch forces every dispatched
+    # program to complete (per-image fetches would serialize on the
+    # host<->device round trip, which on relayed backends is ~30 ms)
+    n_images = 16
+    total = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(n_images):
         chks = [fwd(variables, b)[2] for b in batches]
-        for c in chks:
-            float(c)  # force completion of each image's programs
+        total = combine(total, *chks)
+    final = float(total)  # data-dependent on all n_images * 4 programs
     dt = time.perf_counter() - t0
+    assert np.isfinite(final)
 
     img_per_sec = n_images / dt
     result = {
