@@ -49,14 +49,23 @@ def main(argv):
     from wseg_tpu.engine.train_loop import init_test_variables
     variables = init_test_variables(model, rng, sample.shape)
 
-    checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
-    found, states, _ = checkpoint.load(args.resume,
-                                       {"enc": variables["params"]})
-    if found:
-        variables = dict(variables, params=states["enc"])
-        print("Loaded snapshot", args.resume)
+    resume = args.resume or ""
+    if resume.endswith(".pth"):
+        # released reference checkpoint: convert torch -> flax in place
+        from wseg_tpu.utils.torch_convert import load_reference_checkpoint
+        variables = load_reference_checkpoint(
+            dict(variables), resume, str(cfg.NET.MODEL),
+            str(cfg.NET.BACKBONE))
+        print("Converted torch snapshot", resume)
     else:
-        print("WARNING: snapshot not found, using random init")
+        checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
+        found, states, _ = checkpoint.load(args.resume,
+                                           {"enc": variables["params"]})
+        if found:
+            variables = dict(variables, params=states["enc"])
+            print("Loaded snapshot", args.resume)
+        else:
+            print("WARNING: snapshot not found, using random init")
 
     engine = InferenceEngine(model, variables, cfg.TEST)
 

@@ -149,3 +149,103 @@ def test_load_pretrained_backbone_resnet38_names(rng_np, tmp_path):
     np.testing.assert_allclose(
         out["backbone"]["b2"]["conv_branch2a"]["kernel"],
         np.transpose(sd["b2.conv_branch2a.weight"].numpy(), (2, 3, 1, 0)))
+
+
+def test_load_reference_checkpoint_ae_head(rng_np, tmp_path):
+    """Synthetic reference-named 'ae' checkpoint places head tensors in
+    params AND live-BN running stats in batch_stats."""
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.models import get_model
+    from wseg_tpu.utils.torch_convert import load_reference_checkpoint
+
+    reset_cfg()
+    cfg.NET.MODEL = "ae"
+    cfg.NET.BACKBONE = "resnet50"
+    cfg.NET.DTYPE = "float32"
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng, "sg": rng},
+                           img, img, jnp.ones((1, 20)), train=True)
+    variables = jax.device_get(variables)
+
+    sd = {
+        "aspp.aspp1.atrous_conv.weight": torch.from_numpy(
+            rng_np.randn(256, 2048, 1, 1).astype(np.float32)),
+        "aspp.aspp1.bn.weight": torch.from_numpy(
+            np.full(256, 4.0, np.float32)),
+        "aspp.aspp1.bn.bias": torch.from_numpy(
+            np.zeros(256, np.float32)),
+        "fc8_skip.1.weight": torch.from_numpy(
+            np.full(48, 6.0, np.float32)),
+        "fc8_skip.1.bias": torch.from_numpy(np.zeros(48, np.float32)),
+        "fc8_skip.1.running_mean": torch.from_numpy(
+            np.full(48, 0.25, np.float32)),
+        "fc8_skip.1.running_var": torch.from_numpy(
+            np.full(48, 2.0, np.float32)),
+        "shallow_mask.fc_skip.1.running_mean": torch.from_numpy(
+            np.full(256, 0.5, np.float32)),
+        "shallow_mask.fc_skip.1.running_var": torch.from_numpy(
+            np.full(256, 3.0, np.float32)),
+        "last_conv.8.weight": torch.from_numpy(
+            rng_np.randn(20, 256, 1, 1).astype(np.float32)),
+        "last_conv.8.bias": torch.from_numpy(
+            rng_np.randn(20).astype(np.float32)),
+    }
+    pth = tmp_path / "ae.pth"
+    torch.save(sd, str(pth))
+
+    out = load_reference_checkpoint(variables, str(pth), "ae", "resnet50")
+    p = out["params"]["decoder"]
+    bsdepartment = out["batch_stats"]["decoder"]
+    assert float(p["aspp"]["aspp1_bn"]["scale"][0]) == 4.0
+    assert float(p["fc8_skip_bn"]["scale"][0]) == 6.0
+    np.testing.assert_allclose(
+        bsdepartment["fc8_skip_bn"]["mean"], 0.25)
+    np.testing.assert_allclose(
+        bsdepartment["shallow_mask"]["fc_skip_bn"]["var"], 3.0)
+    np.testing.assert_allclose(
+        p["last_conv3"]["kernel"],
+        np.transpose(sd["last_conv.8.weight"].numpy(), (2, 3, 1, 0)))
+
+
+def test_load_reference_checkpoint_tf_head(rng_np, tmp_path):
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.engine.train_loop import init_test_variables
+    from wseg_tpu.models import get_model
+    from wseg_tpu.utils.torch_convert import load_reference_checkpoint
+
+    reset_cfg()
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "float32"
+    model = get_model(cfg.NET, num_classes=21)
+    variables = jax.device_get(init_test_variables(
+        model, jax.random.PRNGKey(0), (1, 32, 32, 3)))
+
+    sd = {
+        "fc7.weight": torch.from_numpy(
+            rng_np.randn(1024, 4096, 1, 1).astype(np.float32)),
+        "selfattn.qkv.weight": torch.from_numpy(
+            rng_np.randn(3072, 1024).astype(np.float32)),
+        "selfattn.qkv.bias": torch.from_numpy(
+            rng_np.randn(3072).astype(np.float32)),
+        "caatention.fc1.weight": torch.from_numpy(
+            rng_np.randn(64, 1024, 1, 1).astype(np.float32)),
+        "attention.conv1.weight": torch.from_numpy(
+            rng_np.randn(1, 2, 7, 7).astype(np.float32)),
+    }
+    pth = tmp_path / "tf.pth"
+    torch.save(sd, str(pth))
+    out = load_reference_checkpoint(variables, str(pth),
+                                    "CAM_CASA_WGAP_tf", "resnet38")
+    p = out["params"]
+    np.testing.assert_allclose(
+        p["selfattn"]["qkv"]["kernel"],
+        sd["selfattn.qkv.weight"].numpy().T)
+    np.testing.assert_allclose(
+        p["caatention"]["fc1"]["kernel"],
+        sd["caatention.fc1.weight"].numpy()[:, :, 0, 0].T)
+    np.testing.assert_allclose(
+        p["attention"]["conv1"]["kernel"],
+        np.transpose(sd["attention.conv1.weight"].numpy(), (2, 3, 1, 0)))

@@ -72,10 +72,13 @@ class GCI(nn.Module):
         attrs = jnp.max(y, axis=(1, 2))  # (B, 512)
         gamma, beta = jnp.split(attrs, 2, axis=-1)  # (B,256) each
 
-        # shallow -> 256 with affine-free frozen-stat norm
+        # shallow -> 256 with an affine-free LIVE BatchNorm (reference
+        # gci.py:41 creates it with affine=False but never freezes its
+        # running stats — only backbone and ASPP norms are frozen)
         x = conv(256, 1, dtype=self.dtype, name="fc_skip_conv")(x_shallow)
-        x = AffineNorm(256, use_scale=False, dtype=self.dtype,
-                       name="fc_skip_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, use_scale=False, use_bias=False,
+                         dtype=self.dtype, name="fc_skip_bn")(x)
 
         x = x * (gamma[:, None, None, :] + 1.0) + beta[:, None, None, :]
         x = wrelu(x)

@@ -86,6 +86,155 @@ def _torch_name_to_flax_path(name: str, backbone: str):
     return None, None
 
 
+# --------------------------------------------------------------- heads
+# torch module prefix -> (flax path under params, kind)
+# kinds: conv | conv_bias | bn_full (affine + running stats) |
+#        bn_affine (affine only; frozen-stat AffineNorm) |
+#        bn_stats (running stats only; affine-free live BN) |
+#        linear (Dense; transpose) | dense1x1 (1x1 conv -> Dense)
+_AE_HEAD_MAP = [
+    ("aspp.aspp1.atrous_conv", ("decoder", "aspp", "aspp1_conv"), "conv"),
+    ("aspp.aspp2.atrous_conv", ("decoder", "aspp", "aspp2_conv"), "conv"),
+    ("aspp.aspp3.atrous_conv", ("decoder", "aspp", "aspp3_conv"), "conv"),
+    ("aspp.aspp4.atrous_conv", ("decoder", "aspp", "aspp4_conv"), "conv"),
+    ("aspp.aspp1.bn", ("decoder", "aspp", "aspp1_bn"), "bn_affine"),
+    ("aspp.aspp2.bn", ("decoder", "aspp", "aspp2_bn"), "bn_affine"),
+    ("aspp.aspp3.bn", ("decoder", "aspp", "aspp3_bn"), "bn_affine"),
+    ("aspp.aspp4.bn", ("decoder", "aspp", "aspp4_bn"), "bn_affine"),
+    ("aspp.global_avg_pool.1", ("decoder", "aspp", "gap_conv"), "conv"),
+    ("aspp.global_avg_pool.2", ("decoder", "aspp", "gap_bn"),
+     "bn_affine"),
+    ("aspp.conv1", ("decoder", "aspp", "conv1"), "conv"),
+    ("aspp.bn1", ("decoder", "aspp", "bn1"), "bn_affine"),
+    ("fc8_skip.0", ("decoder", "fc8_skip_conv"), "conv"),
+    ("fc8_skip.1", ("decoder", "fc8_skip_bn"), "bn_full"),
+    ("fc8_x.0", ("decoder", "fc8_x_conv"), "conv"),
+    ("fc8_x.1", ("decoder", "fc8_x_bn"), "bn_full"),
+    ("shallow_mask.fc_deep.0",
+     ("decoder", "shallow_mask", "fc_deep_conv"), "conv"),
+    ("shallow_mask.fc_deep.1",
+     ("decoder", "shallow_mask", "fc_deep_bn"), "bn_full"),
+    ("shallow_mask.fc_skip.0",
+     ("decoder", "shallow_mask", "fc_skip_conv"), "conv"),
+    ("shallow_mask.fc_skip.1",
+     ("decoder", "shallow_mask", "fc_skip_bn"), "bn_stats"),
+    ("shallow_mask.fc_cls.0",
+     ("decoder", "shallow_mask", "fc_cls_conv"), "conv"),
+    ("shallow_mask.fc_cls.1",
+     ("decoder", "shallow_mask", "fc_cls_bn"), "bn_full"),
+    ("last_conv.0", ("decoder", "last_conv1"), "conv"),
+    ("last_conv.1", ("decoder", "last_bn1"), "bn_full"),
+    ("last_conv.4", ("decoder", "last_conv2"), "conv"),
+    ("last_conv.5", ("decoder", "last_bn2"), "bn_full"),
+    ("last_conv.8", ("decoder", "last_conv3"), "conv_bias"),
+]
+
+_TF_HEAD_MAP = [
+    ("fc7", ("fc7",), "conv"),
+    ("fc8", ("fc8",), "conv"),
+    ("selfattn.qkv", ("selfattn", "qkv"), "linear"),
+    ("selfattn.proj", ("selfattn", "proj"), "linear"),
+    ("caatention.fc1", ("caatention", "fc1"), "dense1x1"),
+    ("caatention.fc2", ("caatention", "fc2"), "dense1x1"),
+    ("attention.conv1", ("attention", "conv1"), "conv"),
+]
+
+_BSL_HEAD_MAP = [
+    ("fc8", ("fc8",), "conv"),
+]
+
+HEAD_MAPS = {
+    "ae": _AE_HEAD_MAP,
+    "bsl": _BSL_HEAD_MAP,
+    "CAM_CASA_WGAP_tf": _TF_HEAD_MAP,
+}
+
+
+def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind):
+    placed = 0
+
+    def put(tree, leaf, value):
+        nonlocal placed
+        key = tuple(flax_path) + (leaf,)
+        if key in tree and tree[key].shape == value.shape:
+            tree[key] = np.asarray(value, np.float32)
+            placed += 1
+        else:
+            print(f"  convert: no slot for {torch_prefix} -> {key} "
+                  f"{value.shape}")
+
+    w = sd.get(torch_prefix + ".weight")
+    b = sd.get(torch_prefix + ".bias")
+    rm = sd.get(torch_prefix + ".running_mean")
+    rv = sd.get(torch_prefix + ".running_var")
+
+    if kind in ("conv", "conv_bias"):
+        if w is not None:
+            put(flat_params, "kernel", _conv_kernel(w))
+        if kind == "conv_bias" and b is not None:
+            put(flat_params, "bias", b)
+    elif kind == "linear":
+        if w is not None:
+            put(flat_params, "kernel", w.T)
+        if b is not None:
+            put(flat_params, "bias", b)
+    elif kind == "dense1x1":
+        if w is not None:  # (O, I, 1, 1) -> (I, O)
+            put(flat_params, "kernel", w[:, :, 0, 0].T)
+        if b is not None:
+            put(flat_params, "bias", b)
+    elif kind == "bn_affine":
+        if w is not None:
+            put(flat_params, "scale", w)
+        if b is not None:
+            put(flat_params, "bias", b)
+    elif kind == "bn_full":
+        if w is not None:
+            put(flat_params, "scale", w)
+        if b is not None:
+            put(flat_params, "bias", b)
+        if rm is not None:
+            put(flat_stats, "mean", rm)
+        if rv is not None:
+            put(flat_stats, "var", rv)
+    elif kind == "bn_stats":
+        if rm is not None:
+            put(flat_stats, "mean", rm)
+        if rv is not None:
+            put(flat_stats, "var", rv)
+    return placed
+
+
+def load_reference_checkpoint(variables, pth_path: str, model_name: str,
+                              backbone: str):
+    """Convert a full reference model checkpoint (backbone + head).
+
+    Supports the models with released weights ('ae', 'bsl',
+    'CAM_CASA_WGAP_tf').  Returns an updated ``variables`` dict with both
+    'params' and 'batch_stats' collections populated.
+    """
+    sd = _load_state_dict(pth_path)
+    params = dict(variables["params"])
+    new_params = load_pretrained_backbone(params, pth_path, backbone)
+
+    flat_params = dict(trav.flatten_dict(new_params))
+    stats = variables.get("batch_stats", {})
+    flat_stats = dict(trav.flatten_dict(stats)) if stats else {}
+
+    head_map = HEAD_MAPS.get(model_name, [])
+    placed = 0
+    for torch_prefix, flax_path, kind in head_map:
+        placed += _place(flat_params, flat_stats, sd, torch_prefix,
+                         flax_path, kind)
+    print(f"Converted {placed} head tensors for model '{model_name}'")
+
+    out = dict(variables)
+    out["params"] = trav.unflatten_dict(flat_params)
+    if flat_stats:
+        out["batch_stats"] = trav.unflatten_dict(flat_stats)
+    return out
+
+
 def load_pretrained_backbone(params, pth_path: str, backbone: str):
     """Copy matching tensors from a torch checkpoint into ``params``.
 
