@@ -103,15 +103,21 @@ class InferenceEngine:
 
     def _forward_views(self, views: List[np.ndarray]):
         """Group same-shape views into batches; returns per-view
-        (cls, mask) in original order."""
+        (cls, mask) in original order.
+
+        All bucket programs are dispatched before any result is fetched,
+        so device work for the buckets overlaps with host transfers
+        (fetch-per-bucket would serialize on round trips)."""
         buckets: Dict[Tuple[int, int], List[int]] = {}
         for i, v in enumerate(views):
             buckets.setdefault(v.shape[:2], []).append(i)
         cls_out = [None] * len(views)
         mask_out = [None] * len(views)
+        pending = []
         for shape, idxs in buckets.items():
             batch = np.stack([views[i] for i in idxs])
-            cls, masks = self.infer(self.variables, batch)
+            pending.append((idxs, self.infer(self.variables, batch)))
+        for idxs, (cls, masks) in pending:
             cls = np.asarray(jax.device_get(cls), np.float32)
             masks = np.asarray(jax.device_get(masks), np.float32)
             for k, i in enumerate(idxs):
