@@ -1,0 +1,85 @@
+"""MultiScaleServer: cross-image batching, futures, parity with engine."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from wseg_tpu.config import cfg
+from wseg_tpu.engine.infer import InferenceEngine
+from wseg_tpu.engine.serving import MultiScaleServer
+from wseg_tpu.engine.train_loop import init_test_variables
+from wseg_tpu.models import get_model
+
+
+def _apply_cfg():
+    """Per-test cfg (the autouse reset_cfg fixture wipes cfg between
+    tests, so this must run inside every test, not in a module fixture —
+    a stale module fixture once left PAD_SIZE at the 1024^2 default and
+    the test spent minutes compiling VGG at that size)."""
+    cfg.NET.MODEL = "bsl"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    cfg.TEST.METHOD = "multiscale"
+    cfg.TEST.SCALES = [1.0, 0.5]
+    cfg.TEST.FLIP = True
+    cfg.TEST.PAD_SIZE = [64, 64]
+    cfg.TEST.PAD_PER_SCALE = True
+    cfg.TEST.PAD_ALIGN = 16
+    cfg.TEST.USE_GT_LABELS = False
+    cfg.TEST.FP_CUT_SCORE = 0.1
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    _apply_cfg()
+    model = get_model(cfg.NET, num_classes=21)
+    variables = init_test_variables(model, jax.random.PRNGKey(0),
+                                    (1, 48, 48, 3))
+    return model, variables
+
+
+def test_server_matches_engine(model_vars, rng_np):
+    _apply_cfg()
+    model, variables = model_vars
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=4,
+                              max_wait_ms=50)
+    server.warmup([(48, 40)])
+    try:
+        imgs = [Image.fromarray(
+            (rng_np.rand(40, 48, 3) * 255).astype(np.uint8))
+            for _ in range(5)]
+        futures = [server.submit(im) for im in imgs]
+        results = [f.result(timeout=300) for f in futures]
+
+        eng = InferenceEngine(model, variables, cfg.TEST)
+        for im, (merged, labels) in zip(imgs, results):
+            want, want_labels = eng.run_image(
+                im, np.zeros(20, np.float32))
+            assert merged.shape == want.shape
+            np.testing.assert_allclose(merged, want, rtol=1e-4,
+                                       atol=1e-5)
+            np.testing.assert_array_equal(labels, want_labels)
+    finally:
+        server.close()
+
+
+def test_server_mixed_sizes(model_vars, rng_np):
+    _apply_cfg()
+    cfg.TEST.SCALES = [1.0]  # keep the compile count down on CPU
+    cfg.TEST.FLIP = False
+    model, variables = model_vars
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=3,
+                              max_wait_ms=50)
+    server.warmup([(48, 40), (40, 48), (48, 48)])
+    try:
+        sizes = [(40, 48), (48, 40), (48, 48)]
+        futures = [server.submit(Image.fromarray(
+            (rng_np.rand(h, w, 3) * 255).astype(np.uint8)))
+            for h, w in sizes]
+        for (h, w), f in zip(sizes, futures):
+            merged, labels = f.result(timeout=300)
+            assert merged.shape == (h, w, 21)
+    finally:
+        server.close()
