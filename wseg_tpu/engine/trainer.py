@@ -170,13 +170,20 @@ class DecTrainer:
         pretrain = epoch < int(cfg.TRAIN.PRETRAIN)
         mask_on = jnp.asarray(0.0 if pretrain else 1.0)
 
+        profile_dir = getattr(self.args, "profile_dir", "")
         for i, batch in enumerate(self.trainloader):
+            if profile_dir and epoch == self.start_epoch and i == 10:
+                jax.profiler.start_trace(profile_dir)
             self._maybe_capture_fixed_batch(batch)
             db = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, db,
                                                   self.rng, mask_on)
             for k, v in metrics.items():
                 stat.update_stats(k, float(v))
+            if profile_dir and epoch == self.start_epoch and i == 20:
+                jax.profiler.stop_trace()
+                print("Profiler trace written to", profile_dir)
+                profile_dir = ""
 
             if i % 10 == 0:
                 msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)

@@ -31,6 +31,10 @@ def add_global_arguments(parser: argparse.ArgumentParser):
     parser.add_argument("--random-seed", type=int, default=64)
     parser.add_argument("--isattention", type=bool, default=False,
                         help="Use the attention loss")
+    parser.add_argument("--profile-dir", type=str, default="",
+                        help="If set, capture a jax.profiler trace of "
+                             "training steps 10-20 into this directory "
+                             "(view with TensorBoard or xprof)")
 
 
 def maybe_create_dir(path: str):
