@@ -8,7 +8,7 @@ train()/eval() mutation:
   * ``FrozenBatchNorm`` — backbone BNs: running stats AND affine params are
     frozen (base_net.py:93-109).  A constant per-channel affine; its params
     live in ``params`` but are excluded from the optimizer via the label
-    tree (:func:`param_label`).
+    tree (wseg_tpu.parallel.optim.label_params).
   * ``AffineNorm`` — ASPP BNs: the reference freezes their running stats at
     PyTorch init (mean 0, var 1) while training the affine, so they compute
     exactly ``x * gamma / sqrt(1 + eps) + beta`` (SoftMaxAE.py:137 +
@@ -116,35 +116,3 @@ def denormalize_image(x):
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     return x.astype(jnp.float32) * std + mean
-
-
-def param_label(path: Sequence[str], backbone_prefix: str = "backbone",
-                frozen_prefixes: Sequence[str] = (),
-                pretrained_prefixes: Sequence[str] = ()) -> str:
-    """Label one param leaf for the 4-group optimizer.
-
-    Args:
-      path: tuple of str keys from the params pytree root to the leaf
-        (leaf name last, e.g. ('backbone', 'b2', 'conv1', 'kernel')).
-      backbone_prefix: top-level module name holding pretrained weights.
-      frozen_prefixes: path prefixes (joined with '/') that are frozen
-        (stems, and all backbone FrozenBatchNorm params).
-      pretrained_prefixes: extra prefixes that count as pretrained even
-        outside the backbone module.
-    """
-    joined = "/".join(path)
-    for p in frozen_prefixes:
-        if joined.startswith(p):
-            return FROZEN
-    # FrozenBatchNorm params are frozen wherever they live
-    if path[-1] in ("mean", "var"):
-        return FROZEN
-    in_backbone = path[0] == backbone_prefix or any(
-        joined.startswith(p) for p in pretrained_prefixes)
-    if in_backbone and path[-2].startswith("frozen_bn") if len(path) > 1 \
-            else False:
-        return FROZEN
-    is_bias = path[-1] in ("bias",)
-    if in_backbone:
-        return PRE_B if is_bias else PRE_W
-    return NEW_B if is_bias else NEW_W
