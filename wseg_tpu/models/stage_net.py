@@ -332,7 +332,11 @@ class StageNet(nn.Module):
         spec = self.spec
         C = self.num_classes
         out_ch = C - 1 if spec.bg == "const_one" else C
-        x = self._dropout2d(x, 0.5, train)
+        if not spec.mask_branch_relu:
+            # cls_branch = [Dropout2d, fc8] (v2-v5/PCM, e.g. reference
+            # CAM_CASA_WGAP_v5.py:122-124); the mask_branch variants
+            # (v6 + all tf*) apply fc8+relu with NO dropout
+            x = self._dropout2d(x, 0.5, train)
         x = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform(),
                     name="fc8")(x)
