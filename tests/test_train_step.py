@@ -132,3 +132,26 @@ def test_eval_step():
     metrics, cls = eval_step(state, batch)
     assert cls.shape == (2, 20)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pretrain_gating_changes_loss():
+    """mask_on=0 (pretrain) excludes the mask loss from the total."""
+    model, batch = _setup(model_name="ae", backbone="vgg16", hw=48)
+    rng = jax.random.PRNGKey(0)
+    from wseg_tpu.engine.train_loop import init_variables
+    variables = init_variables(model, rng, batch)
+    tx, _ = make_optimizer(cfg.NET, "vgg16", variables["params"])
+    state = create_train_state(model, tx, rng, batch, variables=variables)
+    step = make_train_step(model, tx)
+
+    s1, m_off = step(state, batch, rng, jnp.asarray(0.0))
+    state2 = create_train_state(model, tx, rng, batch,
+                                variables=init_variables(model, rng,
+                                                         batch))
+    s2, m_on = step(state2, batch, rng, jnp.asarray(1.0))
+    # identical forward (same rng/step counter) so loss_cls matches but
+    # the gated total differs by the mask loss
+    np.testing.assert_allclose(float(m_off["loss_cls"]),
+                               float(m_on["loss_cls"]), rtol=1e-5)
+    assert abs(float(m_on["loss"]) - float(m_off["loss"])
+               - float(m_on["loss_mask"])) < 1e-5
