@@ -41,12 +41,12 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # per-scale pad buckets for a typical 500x375 VOC image
-    # (scale -> padded size rounded up to 128); serving batches 4 images'
-    # views per bucket program (throughput-optimal on v5e: +30% over
-    # single-image batches)
+    # (scale -> padded size rounded up to 128); serving batches 8 images'
+    # views per bucket program (measured on v5e: 9.1 img/s at batch 1,
+    # 11.8 at batch 4, 12.5 at batch 8)
     base_hw = (384, 512)
     scales = [1.0, 0.5, 1.5, 2.0]
-    imgs_per_batch = 4
+    imgs_per_batch = 8
     buckets = []
     for s in scales:
         h = int(np.ceil(base_hw[0] * s / 128) * 128)
@@ -85,7 +85,7 @@ def main():
     # fully pipelined; ONE final scalar fetch forces every dispatched
     # program to complete (per-image fetches would serialize on the
     # host<->device round trip, which on relayed backends is ~30 ms)
-    n_rounds = 4
+    n_rounds = 3
     n_images = n_rounds * imgs_per_batch
     total = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
