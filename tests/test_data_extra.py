@@ -1,0 +1,73 @@
+"""Optional data-pipeline features: the external scoremap stream
+(reference datasets/pascal_voc.py:132-150,175-179) and the ResNet
+deep_base stem (reference resnets.py:86-93)."""
+
+import os
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthetic_voc import make_synthetic_voc
+from wseg_tpu.config import cfg, reset_cfg
+from wseg_tpu.data.loader import DataLoader
+from wseg_tpu.data.pascal_voc import VOCSegmentation
+
+
+def _dataset(tmp_path, scoremap_path=""):
+    reset_cfg()
+    root = make_synthetic_voc(str(tmp_path / "voc"))
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.CROP_SIZE = 48
+    return VOCSegmentation(cfg.DATASET, "train_augvoc", root=root,
+                           scoremap_path=scoremap_path)
+
+
+def test_scoremap_stream_joint_augmented(tmp_path):
+    ds_plain = _dataset(tmp_path)
+    assert len(ds_plain[0]) == 4  # no score unless a path is given
+
+    # write a scoremap for image 0 only; image 1+ fall back to zeros
+    sm_dir = tmp_path / "scoremaps"
+    os.makedirs(sm_dir)
+    img0 = ds_plain.entries[0][0]
+    stem = os.path.splitext(os.path.basename(img0))[0]
+    np.save(sm_dir / (stem + ".npy"),
+            np.full((60, 80), 0.5, np.float32))
+
+    ds = _dataset(tmp_path, scoremap_path=str(sm_dir))
+    image, labels, name, mask, score = ds[0]
+    assert score.shape == mask.shape == (48, 48)
+    assert score.dtype == np.float32
+    # bilinear resampling of a constant map stays constant
+    np.testing.assert_allclose(score, 0.5, atol=1e-5)
+    _, _, _, _, score1 = ds[1]
+    np.testing.assert_array_equal(score1, 0.0)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = next(iter(loader))
+    assert batch["score"].shape == (2, 48, 48)
+
+
+def test_resnet_deep_base_stem():
+    from wseg_tpu.models.backbones.resnet import ResNet
+    from wseg_tpu.parallel.optim import label_params
+    from wseg_tpu.models.backbones.common import FROZEN, PRE_W
+
+    model = ResNet(layers=(2, 2, 2, 2), deep_base=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    out = jax.jit(model.apply, static_argnames="train")(
+        variables, x, train=False)
+    assert out["conv6"].shape == (1, 4, 4, 2048)  # output stride 16
+
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    assert ("conv2", "kernel") in flat and ("bn3", "scale") in flat
+    labels = flax.traverse_util.flatten_dict(
+        label_params({"backbone": variables["params"]}, "resnet50"))
+    # deep-stem modules frozen; bottleneck conv2 one level deeper is not
+    assert labels[("backbone", "conv2", "kernel")] == FROZEN
+    assert labels[("backbone", "bn3", "scale")] == FROZEN
+    assert labels[("backbone", "layer1_0", "conv2", "kernel")] == PRE_W

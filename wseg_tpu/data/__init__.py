@@ -28,12 +28,13 @@ def get_class_names(dataset: str = "pascal_voc"):
     return CLASSES
 
 
-def get_dataloader(args, cfg, split, batch_size=None):
+def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
     """Reference-compatible loader factory (datasets/__init__.py:14-30)."""
     shuffle = drop_last = split != "val_voc"
     dataset = VOCSegmentation(cfg.DATASET, split, root=cfg.DATASET.ROOT,
                               augment=shuffle,
-                              seed=getattr(args, "random_seed", 0))
+                              seed=getattr(args, "random_seed", 0),
+                              scoremap_path=scoremap_path)
     if batch_size is None:
         batch_size = cfg.TRAIN.BATCH_SIZE
     return DataLoader(dataset, batch_size, shuffle=shuffle,

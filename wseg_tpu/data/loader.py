@@ -93,5 +93,9 @@ class DataLoader:
         labels = np.stack([s[1] for s in samples]).astype(np.float32)
         names = [s[2] for s in samples]
         masks = np.stack([s[3] for s in samples])
-        return {"image": images, "labels": labels, "name": names,
-                "mask": masks}
+        batch = {"image": images, "labels": labels, "name": names,
+                 "mask": masks}
+        if len(samples[0]) > 4:  # optional scoremap stream
+            batch["score"] = np.stack(
+                [s[4] for s in samples]).astype(np.float32)
+        return batch

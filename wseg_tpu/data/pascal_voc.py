@@ -88,13 +88,18 @@ class VOCSegmentation:
     """
 
     def __init__(self, data_cfg, split: str, root: str = "",
-                 augment: bool = True, seed: int = 0):
+                 augment: bool = True, seed: int = 0,
+                 scoremap_path: str = ""):
         self.cfg = data_cfg
         self.root = root or data_cfg.ROOT
         self.split = split
         self.entries = read_filelist(
             os.path.join(self.root, split + ".txt"), self.root)
         self.augment = augment
+        # optional externally-produced per-image scoremap stream,
+        # joint-augmented with image/mask (reference
+        # datasets/pascal_voc.py:132-150,175-179)
+        self.scoremap_path = scoremap_path
         crop = int(data_cfg.CROP_SIZE)
         if augment:
             self.transform = tf.Compose([
@@ -118,11 +123,24 @@ class VOCSegmentation:
         img_path, mask_path = self.entries[index]
         image = Image.open(img_path).convert("RGB")
         mask = Image.open(mask_path)
-        image, mask = self.transform(image, mask, self.rng)
+        if not self.scoremap_path:
+            image, mask = self.transform(image, mask, self.rng)
+            mask_np = np.asarray(mask, np.int32)
+            labels = labels_from_mask(mask_np)
+            return image, labels, os.path.basename(img_path), mask_np
+        stem = os.path.splitext(os.path.basename(img_path))[0]
+        sm_file = os.path.join(self.scoremap_path, stem + ".npy")
+        if os.path.exists(sm_file):
+            score_np = np.load(sm_file).astype(np.float32)
+        else:
+            score_np = np.zeros(
+                (mask.size[1], mask.size[0]), np.float32)
+        score = Image.fromarray(score_np, mode="F")
+        image, mask, score = self.transform(image, mask, self.rng, score)
         mask_np = np.asarray(mask, np.int32)
         labels = labels_from_mask(mask_np)
-        name = os.path.basename(img_path)
-        return image, labels, name, mask_np
+        return (image, labels, os.path.basename(img_path), mask_np,
+                np.asarray(score, np.float32))
 
     def denorm(self, image: np.ndarray) -> np.ndarray:
         return image * np.asarray(STD, np.float32) + np.asarray(

@@ -2,9 +2,12 @@
 
 Re-implements the reference's torchvision-based pipeline
 (datasets/transforms.py:11-117) without torchvision: random resized crop
-(cubic for image / nearest for mask), horizontal flip, colour jitter,
-ImageNet normalisation.  Each transform takes (PIL image, PIL mask, rng)
-and the pipeline ends with numpy HWC float32 output.
+(cubic for image / nearest for mask / bilinear for the optional scoremap
+stream), horizontal flip, colour jitter, ImageNet normalisation.  Each
+transform takes (PIL image, PIL mask, rng[, PIL score]) and the pipeline
+ends with numpy HWC float32 output.  The score stream mirrors the
+reference's third joint-augmentation stream (datasets/transforms.py, used
+for externally-produced `.npy` scoremaps) and is carried only when given.
 """
 
 from __future__ import annotations
@@ -21,10 +24,16 @@ class Compose:
     def __init__(self, transforms):
         self.transforms = transforms
 
-    def __call__(self, image, mask, rng: np.random.RandomState):
+    def __call__(self, image, mask, rng: np.random.RandomState,
+                 score=None):
         for t in self.transforms:
-            image, mask = t(image, mask, rng)
-        return image, mask
+            out = t(image, mask, rng, score)
+            image, mask = out[0], out[1]
+            if len(out) > 2:
+                score = out[2]
+        if score is None:
+            return image, mask
+        return image, mask, score
 
 
 def _rrc_params(w, h, scale, ratio, rng):
@@ -63,13 +72,15 @@ class MaskRandResizedCrop:
         self.scale = (scale_from, scale_to)
         self.ratio = tuple(ratio)
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         w, h = image.size
         i, j, ch, cw = _rrc_params(w, h, self.scale, self.ratio, rng)
         box = (j, i, j + cw, i + ch)
         image = image.crop(box).resize(self.size, Image.BICUBIC)
         mask = mask.crop(box).resize(self.size, Image.NEAREST)
-        return image, mask
+        if score is not None:
+            score = score.crop(box).resize(self.size, Image.BILINEAR)
+        return image, mask, score
 
 
 class MaskCenterCrop:
@@ -78,7 +89,7 @@ class MaskCenterCrop:
     def __init__(self, size: int):
         self.size = size
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         w, h = image.size
         s = self.size / min(w, h)
         nw, nh = int(round(w * s)), int(round(h * s))
@@ -87,18 +98,22 @@ class MaskCenterCrop:
         left = (nw - self.size) // 2
         top = (nh - self.size) // 2
         box = (left, top, left + self.size, top + self.size)
-        return image.crop(box), mask.crop(box)
+        if score is not None:
+            score = score.resize((nw, nh), Image.BILINEAR).crop(box)
+        return image.crop(box), mask.crop(box), score
 
 
 class MaskHFlip:
     def __init__(self, p: float = 0.5):
         self.p = p
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         if rng.rand() < self.p:
             image = image.transpose(Image.FLIP_LEFT_RIGHT)
             mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
-        return image, mask
+            if score is not None:
+                score = score.transpose(Image.FLIP_LEFT_RIGHT)
+        return image, mask, score
 
 
 def _adjust_hue(image: Image.Image, factor: float) -> Image.Image:
@@ -122,9 +137,9 @@ class MaskColourJitter:
         self.saturation = saturation
         self.hue = hue
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         if rng.rand() >= self.p:
-            return image, mask
+            return image, mask, score
         ops = []
         b = rng.uniform(1 - self.brightness, 1 + self.brightness)
         c = rng.uniform(1 - self.contrast, 1 + self.contrast)
@@ -138,7 +153,7 @@ class MaskColourJitter:
         ]
         for k in rng.permutation(4):
             image = ops[k](image)
-        return image, mask
+        return image, mask, score
 
 
 class RandomGaussianBlur:
@@ -149,12 +164,12 @@ class RandomGaussianBlur:
         self.p = p
         self.max_radius = max_radius
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         from PIL import ImageFilter
         if rng.rand() < self.p:
             image = image.filter(ImageFilter.GaussianBlur(
                 radius=rng.rand() * self.max_radius))
-        return image, mask
+        return image, mask, score
 
 
 class MaskToTensor:
@@ -164,21 +179,24 @@ class MaskToTensor:
     def __init__(self, num_classes: int = 21):
         self.num_classes = num_classes
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         m = np.asarray(mask, np.int64)
         onehot = (m[None, :, :] ==
                   np.arange(self.num_classes)[:, None, None])
-        return image, onehot.astype(np.int32)
+        return image, onehot.astype(np.int32), score
 
 
 class MaskNormalise:
-    """PIL -> float32 HWC, [0,1] -> ImageNet-normalised; mask -> PIL kept."""
+    """PIL -> float32 HWC, [0,1] -> ImageNet-normalised; mask -> PIL kept;
+    score (if any) -> float32 HW."""
 
     def __init__(self, mean, std):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
 
-    def __call__(self, image, mask, rng):
+    def __call__(self, image, mask, rng, score=None):
         arr = np.asarray(image, np.float32) / 255.0
         arr = (arr - self.mean) / self.std
-        return arr, mask
+        if score is not None:
+            score = np.asarray(score, np.float32)
+        return arr, mask, score

@@ -52,17 +52,33 @@ class Bottleneck(nn.Module):
 class ResNet(nn.Module):
     layers: Sequence[int]
     dtype: Any = jnp.float32
+    # PSPNet-style 3x conv3x3 stem (reference resnets.py:86-93).  The
+    # reference ships the option but asserts it off for its ResNet50/101
+    # constructors (resnets.py:202,216); kept for checkpoint parity with
+    # deep-stem ImageNet weights.
+    deep_base: bool = False
 
-    FROZEN_STEM = ("conv1", "bn1")
+    FROZEN_STEM = ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3")
 
     def fan_out(self) -> int:
         return 2048
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        if self.deep_base:
+            x = conv(64, 3, 2, dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+            x = wrelu(x)
+            x = conv(64, 3, dtype=self.dtype, name="conv2")(x)
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn2")(x)
+            x = wrelu(x)
+            x = conv(128, 3, dtype=self.dtype, name="conv3")(x)
+            x = FrozenBatchNorm(128, dtype=self.dtype, name="bn3")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = wrelu(x)
         # torch MaxPool2d(3, stride 2, padding 1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

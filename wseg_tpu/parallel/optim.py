@@ -22,8 +22,11 @@ from wseg_tpu.models.backbones.common import (
 
 _STEM_PREFIXES = {
     "resnet38": ("conv1a", "b2", "b2_1", "b2_2"),
-    "resnet50": ("conv1", "bn1"),
-    "resnet101": ("conv1", "bn1"),
+    # conv2..bn3 exist only with the deep_base 3-conv stem (they are
+    # top-level stem modules there; bottleneck conv2/bn2 live one level
+    # deeper and never match)
+    "resnet50": ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"),
+    "resnet101": ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"),
     "vgg16": ("conv1_1", "conv1_2"),
 }
 
