@@ -49,32 +49,42 @@ class BaseCAM:
         self.variables = variables
         self.tap = tap
 
-        def taps_fn(image):
+        # variables are an explicit jit argument everywhere: closure-
+        # captured params would be serialised into the HLO as constants
+        # (hundreds of MB for WRN38), which remote-compile backends reject
+        def taps_fn(variables, image):
             return model.apply(variables, image, method="backbone_taps")
 
-        def head_cls(tap_value, taps, image):
+        def head_cls(variables, tap_value, taps, image):
             out = model.apply(variables, image,
                               taps={**taps, self.tap: tap_value},
                               train=False)
             return out.cls
 
-        self._taps_fn = jax.jit(taps_fn)
+        self._taps_jit = jax.jit(taps_fn)
+        self._taps_fn = lambda image: self._taps_jit(self.variables, image)
         self._head_cls = head_cls
+
+        def acts_grads(variables, image, target):
+            taps = taps_fn(variables, image)
+            acts = taps[self.tap]
+
+            def score(tap_value):
+                cls = head_cls(variables, tap_value, taps, image)
+                return jnp.sum(cls[:, target]), cls
+
+            (_, cls), grads = jax.value_and_grad(score, has_aux=True)(acts)
+            return acts, grads, cls, taps
+
+        self._acts_grads_jit = jax.jit(acts_grads)
 
     # ---- per-method weighting rule
     def get_cam_weights(self, acts, grads, cls, target):
         raise NotImplementedError
 
     def _acts_grads(self, image, target: int):
-        taps = self._taps_fn(image)
-        acts = taps[self.tap]
-
-        def score(tap_value):
-            cls = self._head_cls(tap_value, taps, image)
-            return jnp.sum(cls[:, target]), cls
-
-        (_, cls), grads = jax.value_and_grad(score, has_aux=True)(acts)
-        return acts, grads, cls, taps
+        return self._acts_grads_jit(self.variables, image,
+                                    jnp.asarray(target))
 
     def __call__(self, image, target_category: int,
                  eigen_smooth: bool = False) -> np.ndarray:
@@ -195,11 +205,12 @@ class ScoreCAM(BaseCAM):
         super().__init__(model, variables, tap)
         self.batch_size = batch_size
 
-        def cls_fn(image):
+        def cls_fn(variables, image):
             out = model.apply(variables, image, train=False)
             return out.cls
 
-        self._cls_fn = jax.jit(cls_fn)
+        self._cls_jit = jax.jit(cls_fn)
+        self._cls_fn = lambda image: self._cls_jit(self.variables, image)
 
     def __call__(self, image, target_category, eigen_smooth=False):
         image = jnp.asarray(image)
@@ -239,13 +250,15 @@ class AblationCAM(BaseCAM):
         super().__init__(model, variables, tap)
         self.batch_size = batch_size
 
-        def ablate_cls(tap_value, taps, image):
-            out = self.model.apply(self.variables, image,
+        def ablate_cls(variables, tap_value, taps, image):
+            out = self.model.apply(variables, image,
                                    taps={**taps, self.tap: tap_value},
                                    train=False)
             return out.cls
 
-        self._ablate_cls = jax.jit(ablate_cls)
+        self._ablate_jit = jax.jit(ablate_cls)
+        self._ablate_cls = lambda tap_value, taps, image: \
+            self._ablate_jit(self.variables, tap_value, taps, image)
 
     def __call__(self, image, target_category, eigen_smooth=False):
         image = jnp.asarray(image)
@@ -293,11 +306,14 @@ class GuidedBackprop:
     uses_gradients = True
 
     def __init__(self, model, variables, tap: str = "conv6"):
-        def score_fn(image, target):
+        def score_fn(variables, image, target):
             out = model.apply(variables, image, train=False)
             return jnp.sum(out.cls[:, target])
 
-        self._grad_fn = jax.jit(jax.grad(score_fn), static_argnums=(1,))
+        self._grad_jit = jax.jit(jax.grad(score_fn, argnums=1),
+                                 static_argnums=(2,))
+        self._grad_fn = lambda image, target: \
+            self._grad_jit(variables, image, target)
 
     def __call__(self, image, target_category: int,
                  eigen_smooth: bool = False) -> np.ndarray:

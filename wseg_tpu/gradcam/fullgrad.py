@@ -52,6 +52,23 @@ class FullGrad:
         self.model = model
         self.variables = variables
 
+        # variables as an explicit jit argument (closure-captured params
+        # would be embedded in the HLO; see cam_methods.BaseCAM).  One
+        # persistent jitted fn: retraces only on new image/site shapes.
+        def score(variables, img, perturbs, target):
+            def interceptor(next_fun, args, kwargs, context):
+                out = next_fun(*args, **kwargs)
+                p = context.module.path if context.module else None
+                if context.method_name == "__call__" and p in perturbs:
+                    out = out + perturbs[p].astype(out.dtype)
+                return out
+
+            with nn.intercept_methods(interceptor):
+                out = self.model.apply(variables, img, train=False)
+            return jnp.sum(out.cls[:, target])
+
+        self._grad_fn = jax.jit(jax.grad(score, argnums=(1, 2)))
+
     def _discover_sites(self, image) -> Dict[Tuple[str, ...], Tuple]:
         """One traced pass recording (shape, bias) of every bias site."""
         sites: Dict[Tuple[str, ...], Tuple] = {}
@@ -90,19 +107,8 @@ class FullGrad:
         zeros = {p: jnp.zeros(shape, jnp.float32)
                  for p, (shape, _) in sites.items()}
 
-        def score(img, perturbs):
-            def interceptor(next_fun, args, kwargs, context):
-                out = next_fun(*args, **kwargs)
-                p = context.module.path if context.module else None
-                if context.method_name == "__call__" and p in perturbs:
-                    out = out + perturbs[p].astype(out.dtype)
-                return out
-
-            with nn.intercept_methods(interceptor):
-                out = self.model.apply(self.variables, img, train=False)
-            return jnp.sum(out.cls[:, t])
-
-        g_img, g_sites = jax.grad(score, argnums=(0, 1))(image, zeros)
+        g_img, g_sites = self._grad_fn(self.variables, image, zeros,
+                                       jnp.asarray(t))
 
         H, W = image.shape[1], image.shape[2]
         cam = jnp.sum(_scale_map(g_img.astype(jnp.float32)
