@@ -135,3 +135,37 @@ def test_device_merge_matches_host_merge(rng_np):
     assert diff.mean() < 0.01, diff.mean()
     agree = (np.argmax(dev_merged, -1) == np.argmax(host_merged, -1)).mean()
     assert agree > 0.95, agree
+
+
+def test_2d_mesh_data_x_space_inference(rng_np):
+    """Combined batch + spatial sharding on a 2-D (data=2, space=4) mesh:
+    batch split over 'data', H split over 'space' (XLA conv halo
+    exchange); result must equal the unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wseg_tpu.parallel import make_mesh
+
+    cfg.NET.MODEL = "bsl"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    model = get_model(cfg.NET, num_classes=21)
+    variables = init_test_variables(model, jax.random.PRNGKey(0),
+                                    (1, 64, 64, 3))
+    x = rng_np.rand(2, 128, 64, 3).astype(np.float32)
+
+    def fwd(v, im):
+        out = model.apply(v, im, train=False)
+        return out.cls, out.masks
+
+    cls_ref, masks_ref = jax.jit(fwd)(variables, x)
+
+    mesh = make_mesh(n_data=2, n_space=4, devices=jax.devices()[:8])
+    with mesh:
+        xs = jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("data", "space")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        cls_s, masks_s = jax.jit(fwd)(vs, xs)
+    np.testing.assert_allclose(np.asarray(cls_s), np.asarray(cls_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(masks_s), np.asarray(masks_ref),
+                               rtol=1e-3, atol=1e-4)
