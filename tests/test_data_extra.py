@@ -71,3 +71,19 @@ def test_resnet_deep_base_stem():
     assert labels[("backbone", "conv2", "kernel")] == FROZEN
     assert labels[("backbone", "bn3", "scale")] == FROZEN
     assert labels[("backbone", "layer1_0", "conv2", "kernel")] == PRE_W
+
+
+def test_colorize_matches_palette():
+    from wseg_tpu.data import colorize, get_mask_palette_image, voc_colormap
+    mask = np.array([[0, 1], [20, 21]], np.int32)
+    rgb = colorize(mask)
+    cmap = voc_colormap()
+    np.testing.assert_array_equal(rgb[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(rgb[0, 1], cmap[1])
+    np.testing.assert_array_equal(rgb[1, 0], cmap[20])
+    # index 21 recovers to ambiguous/255 (reference pallete.py boundary)
+    np.testing.assert_array_equal(rgb[1, 1], cmap[255])
+
+    im = get_mask_palette_image(np.array([[3]], np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(im.convert("RGB"))[0, 0], cmap[3])

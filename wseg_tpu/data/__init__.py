@@ -6,6 +6,8 @@ from wseg_tpu.data.pascal_voc import (  # noqa: F401
     NUM_CLASS,
     STD,
     VOCSegmentation,
+    colorize,
+    get_mask_palette_image,
     get_palette,
     labels_from_mask,
     read_filelist,

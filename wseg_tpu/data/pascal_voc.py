@@ -52,6 +52,25 @@ def get_palette() -> List[int]:
     return voc_colormap().reshape(-1).tolist()
 
 
+def colorize(mask: np.ndarray) -> np.ndarray:
+    """Index mask (H, W) -> RGB uint8 (H, W, 3) via the VOC palette
+    (reference utils/pallete.py:13-27 get_mask_pallete and
+    datasets/utils.py:37-67 Colorize).  Index 21 is mapped to 255
+    (ambiguous), matching the reference's boundary recovery."""
+    m = np.asarray(mask).astype(np.int32).copy()
+    m[m == NUM_CLASS] = AMBIGUOUS
+    return voc_colormap()[m % 256]
+
+
+def get_mask_palette_image(mask: np.ndarray) -> Image.Image:
+    """Index mask -> PIL 'P' image with the VOC palette attached (the
+    form eval_seg/VOC tooling expects on disk)."""
+    m = np.asarray(mask).astype(np.uint8)
+    im = Image.fromarray(m, mode="P")
+    im.putpalette(get_palette())
+    return im
+
+
 def labels_from_mask(mask: np.ndarray, num_class: int = NUM_CLASS
                      ) -> np.ndarray:
     """Multi-hot (C-1,) image labels from a GT index mask, ignoring
