@@ -106,3 +106,30 @@ def test_train_infer_eval_cycle(tmp_path):
     assert M.sum() > 0
     assert 0.0 <= stats["miou"] <= 100.0
     assert os.path.isfile(str(tmp_path / "scores.log"))
+
+
+def test_infer_val_with_crf(tmp_path):
+    """The CRF writer path of infer_val (writer id 0: thresh 0.0 + CRF):
+    drives the native C++ permutohedral CRF (numpy fallback) through the
+    CLI and checks both no_crf/ and crf/ outputs appear."""
+    root = make_synthetic_voc(str(tmp_path / "data"), n_train=1, n_val=2)
+    cfg_file = _write_cfg(tmp_path, root)
+
+    from wseg_tpu.config import reset_cfg
+    reset_cfg()
+    infer_cli = _load_cli("infer_val.py")
+    infer_cli.TEST_ID = [0]  # thresh 0.0, CRF enabled
+    out_dir = str(tmp_path / "masks")
+    infer_cli.main(["--dataset", "pascal_voc", "--cfg", cfg_file,
+                    "--exp", "e2e", "--run", "r0",
+                    "--snapshot-dir", str(tmp_path / "snap"),
+                    "--logdir", str(tmp_path / "logs"),
+                    "--infer-list", os.path.join(root, "val_voc.txt"),
+                    "--mask-output-dir", out_dir])
+    base = out_dir + "_0"  # suffix = str(0.0).split(".")[-1]
+    assert len(os.listdir(os.path.join(base, "no_crf"))) == 2
+    crf_files = sorted(os.listdir(os.path.join(base, "crf")))
+    assert len(crf_files) == 2
+    from PIL import Image
+    im = np.asarray(Image.open(os.path.join(base, "crf", crf_files[0])))
+    assert im.ndim == 2 and im.shape == (60, 80)
