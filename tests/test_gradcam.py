@@ -81,3 +81,34 @@ def test_fullgrad(model_and_vars, rng_np):
     assert out.shape == (1, 48, 48)
     assert np.isfinite(out).all()
     assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-5
+
+
+def test_multi_layer_aggregation(model_and_vars, rng_np):
+    """Multiple target layers -> mean of per-layer scaled CAMs
+    (reference base_cam.py:129-137).  bsl's head only reads conv6, so a
+    conv3 tap contributes a zero map there and the aggregate re-scales
+    back to the single-layer CAM; ae consumes both taps, so its
+    aggregate genuinely differs."""
+    from wseg_tpu.gradcam import GradCAM
+    model, variables = model_and_vars
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    single = GradCAM(model, variables, tap="conv6")(x, 3)
+    multi = GradCAM(model, variables, tap=("conv3", "conv6"))(x, 3)
+    assert multi.shape == single.shape
+    assert np.all(multi >= -1e-6) and np.all(multi <= 1.0 + 1e-6)
+    np.testing.assert_allclose(multi, single, atol=1e-5)
+
+    from wseg_tpu.config import reset_cfg
+    reset_cfg()
+    cfg.NET.MODEL = "ae"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    cfg.NET.PAMR_KERNEL = [1, 2]
+    cfg.NET.PAMR_ITER = 2
+    model2 = get_model(cfg.NET, num_classes=21)
+    from wseg_tpu.engine.train_loop import init_test_variables
+    vars2 = init_test_variables(model2, jax.random.PRNGKey(0),
+                                (1, 48, 48, 3))
+    s2 = GradCAM(model2, vars2, tap="conv6")(x, 3)
+    m2 = GradCAM(model2, vars2, tap=("conv3", "conv6"))(x, 3)
+    assert not np.allclose(m2, s2)

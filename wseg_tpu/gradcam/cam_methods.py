@@ -44,10 +44,14 @@ class BaseCAM:
 
     uses_gradients = True
 
-    def __init__(self, model, variables, tap: str = "conv6"):
+    def __init__(self, model, variables, tap="conv6"):
         self.model = model
         self.variables = variables
-        self.tap = tap
+        # one tap or several: multiple target layers are aggregated as
+        # the mean of the per-layer scaled CAMs (reference
+        # base_cam.py:129-137 aggregate_multi_layers)
+        self.taps = (tap,) if isinstance(tap, str) else tuple(tap)
+        self.tap = self.taps[0]
 
         # variables are an explicit jit argument everywhere: closure-
         # captured params would be serialised into the HLO as constants
@@ -55,9 +59,9 @@ class BaseCAM:
         def taps_fn(variables, image):
             return model.apply(variables, image, method="backbone_taps")
 
-        def head_cls(variables, tap_value, taps, image):
+        def head_cls(variables, tap_value, taps, image, tap):
             out = model.apply(variables, image,
-                              taps={**taps, self.tap: tap_value},
+                              taps={**taps, tap: tap_value},
                               train=False)
             return out.cls
 
@@ -65,46 +69,55 @@ class BaseCAM:
         self._taps_fn = lambda image: self._taps_jit(self.variables, image)
         self._head_cls = head_cls
 
-        def acts_grads(variables, image, target):
+        def acts_grads(variables, image, target, tap):
             taps = taps_fn(variables, image)
-            acts = taps[self.tap]
+            acts = taps[tap]
 
             def score(tap_value):
-                cls = head_cls(variables, tap_value, taps, image)
+                cls = head_cls(variables, tap_value, taps, image, tap)
                 return jnp.sum(cls[:, target]), cls
 
             (_, cls), grads = jax.value_and_grad(score, has_aux=True)(acts)
             return acts, grads, cls, taps
 
-        self._acts_grads_jit = jax.jit(acts_grads)
+        self._acts_grads_jit = jax.jit(acts_grads,
+                                       static_argnames=("tap",))
 
     # ---- per-method weighting rule
     def get_cam_weights(self, acts, grads, cls, target):
         raise NotImplementedError
 
-    def _acts_grads(self, image, target: int):
+    def _acts_grads(self, image, target: int, tap: Optional[str] = None):
         return self._acts_grads_jit(self.variables, image,
-                                    jnp.asarray(target))
+                                    jnp.asarray(target),
+                                    tap=tap or self.tap)
 
-    def __call__(self, image, target_category: int,
-                 eigen_smooth: bool = False) -> np.ndarray:
-        """Returns (B, H, W) CAM in [0, 1] at input resolution."""
-        image = jnp.asarray(image)
-        acts, grads, cls, _ = self._acts_grads(image, int(target_category))
+    def _cam_one_tap(self, image, target: int, tap: str,
+                     eigen_smooth: bool):
+        acts, grads, cls, _ = self._acts_grads(image, target, tap)
         acts = acts.astype(jnp.float32)
         grads = grads.astype(jnp.float32)
         if eigen_smooth:
             cam = _svd_projection(acts * self.get_cam_weights(
-                acts, grads, cls, int(target_category))[:, None, None, :])
+                acts, grads, cls, target)[:, None, None, :])
         else:
-            w = self.get_cam_weights(acts, grads, cls,
-                                     int(target_category))
+            w = self.get_cam_weights(acts, grads, cls, target)
             cam = jnp.sum(acts * w[:, None, None, :], axis=-1)
         cam = jax.nn.relu(cam)
         cam = resize_bilinear(cam[..., None],
                               (image.shape[1], image.shape[2]),
                               align_corners=False)[..., 0]
-        return np.asarray(_scale_cam(cam))
+        return _scale_cam(cam)
+
+    def __call__(self, image, target_category: int,
+                 eigen_smooth: bool = False) -> np.ndarray:
+        """Returns (B, H, W) CAM in [0, 1] at input resolution; with
+        multiple taps, the mean of per-layer scaled CAMs."""
+        image = jnp.asarray(image)
+        t = int(target_category)
+        cams = [self._cam_one_tap(image, t, tap, eigen_smooth)
+                for tap in self.taps]
+        return np.asarray(_scale_cam(sum(cams) / len(cams)))
 
 
 def _svd_projection(acts):
