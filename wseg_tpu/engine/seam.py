@@ -83,7 +83,12 @@ def make_seam_train_step(model, tx, loss_name: str = "SoftMargin",
                 l_mask = jnp.mean(l_mask)
                 loss = loss + mask_loss_on * mask_loss_bce * l_mask
                 loss = loss + er_on * loss_er
-                metrics["loss_mask"] = l_mask
+                # Reference train_SEAM.py:124-126: the second forward's
+                # mask loss is folded into the LOGGED loss_mask once the
+                # ER phase starts, but never into the optimised loss.
+                l_mask2, _ = self_supervision_loss(
+                    out2.mask_logits, out2.masks_dec, labels)
+                metrics["loss_mask"] = l_mask + er_on * jnp.mean(l_mask2)
 
             metrics["loss"] = loss
             return loss, (metrics, new_state.get("batch_stats",

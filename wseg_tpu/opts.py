@@ -8,6 +8,23 @@ import os
 from typing import Sequence
 
 
+def str2bool(value) -> bool:
+    """Parse explicit booleans so ``--isattention False`` works.
+
+    The reference uses ``type=bool`` (reference opts.py:32), under which
+    any non-empty string — including "False" — parses as True; this is a
+    deliberate fidelity fix.
+    """
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if v in ("0", "false", "f", "no", "n", "off", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"Expected a boolean, got {value!r}")
+
+
 def add_global_arguments(parser: argparse.ArgumentParser):
     parser.add_argument("--start_epoch", type=int, default=0, metavar="N")
     parser.add_argument("--dataset", type=str, default="pascal_voc",
@@ -29,7 +46,8 @@ def add_global_arguments(parser: argparse.ArgumentParser):
     parser.add_argument("--set", dest="set_cfgs", default=[], nargs="+",
                         help="Set config keys: KEY VALUE pairs")
     parser.add_argument("--random-seed", type=int, default=64)
-    parser.add_argument("--isattention", type=bool, default=False,
+    parser.add_argument("--isattention", type=str2bool, default=False,
+                        nargs="?", const=True,
                         help="Use the attention loss")
     parser.add_argument("--profile-dir", type=str, default="",
                         help="If set, capture a jax.profiler trace of "
