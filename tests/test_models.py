@@ -36,13 +36,15 @@ def _init_and_run(model, train, labels_dim=C - 1):
     return out
 
 
-MF_MODELS = {"CAM_MF", "CAM_MF_v2"}
+# MF needs the multi-tap resnet38 backbone; tf_v3 runs unpadded window
+# attention (reference parity), so its stride-8 features must divide ws=2
+# (resnet50 at 48^2 gives 3x3)
+R38_MODELS = {"CAM_MF", "CAM_MF_v2", "CAM_CASA_WGAP_tf_v3"}
 
 
 @pytest.mark.parametrize("name", sorted(MODEL_SPECS.keys()))
 def test_forward_test_mode(name):
-    # MF needs the multi-tap resnet38 backbone
-    backbone = "resnet38" if name in MF_MODELS else "resnet50"
+    backbone = "resnet38" if name in R38_MODELS else "resnet50"
     model = _build(name, backbone)
     out = _init_and_run(model, train=False)
     spec = MODEL_SPECS[name]

@@ -130,7 +130,10 @@ class ResNet38(nn.Module):
             x, train=train)
         conv3 = x
 
-        x, _ = ResBlock(512, 512, 2, dtype=self.dtype, name="b4")(
+        # conv3_pre = b4's pre-activation BN+ReLU: the 'conv3' tap of the
+        # multi-level variant (reference resnet38d_v2.py:161-162), distinct
+        # from the raw post-residual 'conv3' of resnet38d.py:158-160
+        x, conv3_pre = ResBlock(512, 512, 2, dtype=self.dtype, name="b4")(
             x, train=train)
         for i in range(1, 6):
             x, _ = ResBlock(512, 512, dtype=self.dtype,
@@ -151,5 +154,5 @@ class ResNet38(nn.Module):
         x = FrozenBatchNorm(4096, dtype=self.dtype, name="bn7")(x)
         conv6 = wrelu(x)
 
-        return {"conv3": conv3, "conv4": conv4, "conv5": conv5,
-                "conv6": conv6}
+        return {"conv3": conv3, "conv3_pre": conv3_pre, "conv4": conv4,
+                "conv5": conv5, "conv6": conv6}

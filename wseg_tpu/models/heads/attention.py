@@ -30,12 +30,14 @@ from wseg_tpu.ops.activations import relu as wrelu
 def pad_to_multiple(x, mult_h: int, mult_w: int, buggy_full_pad: bool = False):
     """Zero-pad NHWC bottom/right so H, W divide the window size.
 
-    ``buggy_full_pad`` reproduces reference tf_v6.py:196-197, which pads a
-    full extra window when already divisible.
+    ``buggy_full_pad`` reproduces reference tf_v6.py:197-199, which (a)
+    pads a full extra window when already divisible (no outer modulo) and
+    (b) swaps the pad amounts between H and W (``F.pad(x, (0, padh, 0,
+    padw))`` puts the h-derived pad on the W axis).
     """
     h, w = x.shape[1], x.shape[2]
     if buggy_full_pad:
-        ph, pw = mult_h - h % mult_h, mult_w - w % mult_w
+        ph, pw = mult_h - w % mult_h, mult_w - h % mult_w
     else:
         ph, pw = (mult_h - h % mult_h) % mult_h, (mult_w - w % mult_w) % mult_w
     if ph or pw:
@@ -114,32 +116,38 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     talking: bool = False
     cross: bool = False
+    out_dim: int = 0  # 0 = same as dim (tf_v3's fc8 projects 1024->C*8,
+                      # reference CAM_CASA_WGAP_tf_v3.py:142-156)
+    softmax_query_axis: bool = False  # tf_v10 bug: softmax over the QUERY
+                                      # axis (dim=-2), tf_v10.py:118
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, query=None, ws: int | None = None):
         ws = ws or self.ws
+        dim_out = self.out_dim or self.dim
         b, h, w, c = x.shape
         assert h % ws == 0 and w % ws == 0, (h, w, ws)
         hg, wg = h // ws, w // ws
-        scale = (c // self.num_heads) ** -0.5
+        scale = (dim_out // self.num_heads) ** -0.5
 
         def windows(t):
-            t = t.reshape(b, hg, ws, wg, ws, c)
+            tc = t.shape[-1]
+            t = t.reshape(b, hg, ws, wg, ws, tc)
             t = jnp.swapaxes(t, 2, 3)              # (B,hg,wg,ws,ws,C)
-            return t.reshape(b, hg * wg, ws * ws, c)
+            return t.reshape(b, hg * wg, ws * ws, tc)
 
         xw = windows(x)
         if self.cross:
             assert query is not None, "cross attention needs a query input"
             qw = windows(query)
-            qk = nn.Dense(2 * self.dim, use_bias=self.qkv_bias,
+            qk = nn.Dense(2 * dim_out, use_bias=self.qkv_bias,
                           dtype=self.dtype, name="qk")(qw)
             q, k = jnp.split(qk, 2, axis=-1)
-            v = nn.Dense(self.dim, use_bias=self.qkv_bias,
+            v = nn.Dense(dim_out, use_bias=self.qkv_bias,
                          dtype=self.dtype, name="v")(xw)
         else:
-            qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+            qkv = nn.Dense(3 * dim_out, use_bias=self.qkv_bias,
                            dtype=self.dtype, name="qkv")(xw)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -162,16 +170,17 @@ class WindowAttention(nn.Module):
             attn = nn.softmax(attn, axis=-1)
             attn = jnp.einsum("bghnm,hi->bginm", attn, post)
         else:
-            attn = nn.softmax(attn, axis=-1)
+            attn = nn.softmax(attn,
+                              axis=-2 if self.softmax_query_axis else -1)
         attn = attn.astype(v.dtype)
 
         out = jnp.einsum("bghnm,bghmd->bghnd", attn, v,
                          preferred_element_type=jnp.float32)
         out = _heads_merge(out).astype(self.dtype)  # (B,G,N,C)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(dim_out, dtype=self.dtype, name="proj")(out)
 
-        out = out.reshape(b, hg, wg, ws, ws, c)
-        out = jnp.swapaxes(out, 2, 3).reshape(b, h, w, c)
+        out = out.reshape(b, hg, wg, ws, ws, dim_out)
+        out = jnp.swapaxes(out, 2, 3).reshape(b, h, w, dim_out)
         return out
 
 

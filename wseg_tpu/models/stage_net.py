@@ -51,8 +51,11 @@ class HeadSpec:
     channel_attn: bool = False
     spatial_attn: bool = False
     residual_attn: bool = False    # tf_v3: x = x + x*attn
+    attn_before_fc7: bool = False  # tf_v3: CA/SA on raw backbone features
     self_attn: str = ""            # "" | "window" | "global" | "grid" | "multiwindow"
     self_attn_ws: Any = 2          # int, or tuple for multiwindow
+    self_attn_out_mult: int = 0    # out dim = mult*num_classes; 0 = keep
+                                   # dim (tf_v3: num_classes*8)
     sr_ratio: int = 1              # for "global"
     talking: bool = False
     cross_query: bool = False      # query from conv3 via strided fc6
@@ -60,6 +63,8 @@ class HeadSpec:
     attn_nopad: bool = False       # tf_v5 assumes divisible sizes
     multi_window_norm: bool = False  # tf_v10 concat+1x1+residual+LayerNorm
     fc7: bool = False              # 1x1 fan_out->1024 before self-attention
+    sa_dim: int = 0                # fc7 width; 0 = model default (1024);
+                                   # tf_v10 uses 512 (tf_v10.py:156)
     # scoring
     scoring: str = "cam"           # "cam" | "softmax"
     bg: str = "score"              # "score" | "const_one" | "learned"
@@ -69,6 +74,7 @@ class HeadSpec:
     labels_with_bg: bool = False   # v4 expects C-dim labels
     # multi-level fusion
     multilevel: str = ""           # "" | "sum" | "concat"
+    conv3_tap: str = "conv3"       # "conv3_pre" for resnet38d_v2 consumers
     # refinement
     refine: str = ""               # "" | "pamr" | "pcm"
     clean_before_refine: bool = False
@@ -190,17 +196,37 @@ class StageNet(nn.Module):
         if spec.multilevel == "sum":
             return self._forward_mf(d, image, labels, train, size_hw)
         if spec.multilevel == "concat":
-            x3 = adaptive_max_pool(d["conv3"], (x.shape[1], x.shape[2]))
+            x3 = adaptive_max_pool(d.get(spec.conv3_tap, d["conv3"]),
+                                   (x.shape[1], x.shape[2]))
             x = jnp.concatenate([x3, d["conv4"], x], axis=-1)
 
+        attn_map = None
+        if spec.attn_before_fc7:
+            # tf_v3 applies CA/SA residually on the raw backbone features
+            # BEFORE fc7/self-attention (reference
+            # models/CAM_CASA_WGAP_tf_v3.py:243-248)
+            x, attn_map = self._apply_casa(x, spec)
+
         if spec.fc7:
-            x = nn.Conv(self.sa_dim, (1, 1), use_bias=False,
+            x = nn.Conv(spec.sa_dim or self.sa_dim, (1, 1), use_bias=False,
                         dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name="fc7")(x)
 
         x = self._apply_self_attention(x, d, train)
 
+        if not spec.attn_before_fc7:
+            x, attn_map = self._apply_casa(x, spec)
+
+        if spec.scoring == "softmax":
+            return self._score_softmax(x, d, image, image_raw, labels,
+                                       train, size_hw, attn_map)
+        return self._score_cam(x, image, labels, train, size_hw, attn_map)
+
+    # ---------------------------------------------------------- CBAM CA/SA
+    def _apply_casa(self, x, spec):
+        """Channel then spatial attention, multiplicative or residual
+        (reference models/mods/attention.py:3-41 and per-variant usage)."""
         attn_map = None
         if spec.channel_attn:
             ca = ChannelAttention(x.shape[-1], dtype=self.dtype,
@@ -210,11 +236,7 @@ class StageNet(nn.Module):
             sw, attn_map = SpatialAttention(dtype=self.dtype,
                                             name="attention")(x)
             x = x + x * sw if spec.residual_attn else x * sw
-
-        if spec.scoring == "softmax":
-            return self._score_softmax(x, d, image, image_raw, labels,
-                                       train, size_hw, attn_map)
-        return self._score_cam(x, image, labels, train, size_hw, attn_map)
+        return x, attn_map
 
     # ------------------------------------------------------ self-attention
     def _apply_self_attention(self, x, d, train):
@@ -241,8 +263,11 @@ class StageNet(nn.Module):
 
         if spec.self_attn == "multiwindow":
             # tf_v10: shared-weight window attention at several window
-            # sizes, concat -> 1x1 -> residual add -> LayerNorm
-            attn = WindowAttention(dim, 8, dtype=self.dtype,
+            # sizes, concat -> 1x1 -> residual add -> LayerNorm; its
+            # GroupAttention softmaxes over the query axis (a reference
+            # bug reproduced for parity, tf_v10.py:118)
+            attn = WindowAttention(dim, 8, softmax_query_axis=True,
+                                   dtype=self.dtype,
                                    name="selfattn")
             outs = []
             h, w = x.shape[1], x.shape[2]
@@ -262,7 +287,7 @@ class StageNet(nn.Module):
         if spec.cross_query:
             q = nn.Conv(self.sa_dim, (2, 2), strides=(2, 2), use_bias=False,
                         padding="VALID", dtype=self.dtype, name="fc6")(
-                d["conv3"])
+                d.get(spec.conv3_tap, d["conv3"]))
             q = resize_bilinear(q, (x.shape[1], x.shape[2]),
                                 align_corners=True)
             query = q
@@ -276,8 +301,10 @@ class StageNet(nn.Module):
             if query is not None:
                 qp, _ = pad_to_multiple(query, ws, ws,
                                         spec.attn_fullpad_bug)
+        out_dim = spec.self_attn_out_mult * self.num_classes
         out = WindowAttention(xp.shape[-1], 8, ws, talking=spec.talking,
-                              cross=spec.cross_query, dtype=self.dtype,
+                              cross=spec.cross_query,
+                              out_dim=out_dim, dtype=self.dtype,
                               name="selfattn")(xp, query=qp)
         return out[:, :h, :w, :]
 
@@ -292,9 +319,11 @@ class StageNet(nn.Module):
                       name="fc8")
 
         if spec.pooling == "wgap":
+            # weighted GAP: sum over positions of x * SA softmax map
+            # (reference models/CAM_SA_WGAP.py:70-76)
             b, h, w, c = x.shape
-            pooled = jnp.einsum("bhwc,bn->bc",
-                                x.astype(jnp.float32),
+            pooled = jnp.einsum("bnc,bn->bc",
+                                x.reshape(b, h * w, c).astype(jnp.float32),
                                 attn_map.reshape(b, h * w))
             pooled = pooled[:, None, None, :].astype(self.dtype)
             pooled = self._dropout2d(pooled, 0.5, train)
@@ -433,7 +462,7 @@ class StageNet(nn.Module):
             fc8 = nn.Conv(C - 1, (1, 1), use_bias=False, dtype=self.dtype,
                           kernel_init=nn.initializers.xavier_uniform(),
                           name=f"fc8_{lv}")
-            feat = d[lv]
+            feat = d[self.spec.conv3_tap] if lv == "conv3" else d[lv]
             pooled = self._dropout2d(feat, 0.5, train)
             pooled = jnp.mean(pooled, axis=(1, 2), keepdims=True)
             cls = cls + fc8(pooled)[:, 0, 0, :]
@@ -482,9 +511,12 @@ MODEL_SPECS = {
                          pooling="wgap", loss_at=True),
     "CAM_CASA_WGAP": _spec(name="CAM_CASA_WGAP", channel_attn=True,
                            spatial_attn=True, pooling="wgap", loss_at=True),
-    # multi-level fusion (models/CAM_MF.py, CAM_MF_v2.py)
-    "CAM_MF": _spec(name="CAM_MF", multilevel="sum"),
-    "CAM_MF_v2": _spec(name="CAM_MF_v2", multilevel="concat"),
+    # multi-level fusion (models/CAM_MF.py, CAM_MF_v2.py); both read the
+    # resnet38d_v2-style pre-activation conv3 tap
+    "CAM_MF": _spec(name="CAM_MF", multilevel="sum",
+                    conv3_tap="conv3_pre"),
+    "CAM_MF_v2": _spec(name="CAM_MF_v2", multilevel="concat",
+                       conv3_tap="conv3_pre"),
     # nGWP-scored attention variants (models/CAM_CASA_WGAP_v2..v6.py)
     "CAM_CASA_WGAP_v2": _spec(name="CAM_CASA_WGAP_v2", channel_attn=True,
                               spatial_attn=True, scoring="softmax",
@@ -521,15 +553,22 @@ MODEL_SPECS = {
                                  scoring="softmax", bg="learned",
                                  mask_branch_relu=True, refine="pamr",
                                  clean_before_refine=True),
+    # tf_v3: CA/SA residually on the RAW backbone features, then fc7 ->
+    # GroupAttention-as-fc8 (1024 -> C*8, no padding) -> 1x1 fc8_2
+    # (reference models/CAM_CASA_WGAP_tf_v3.py:205-254)
     "CAM_CASA_WGAP_tf_v3": _spec(name="CAM_CASA_WGAP_tf_v3", fc7=True,
                                  self_attn="window", self_attn_ws=2,
+                                 self_attn_out_mult=8, attn_nopad=True,
                                  channel_attn=True, spatial_attn=True,
-                                 residual_attn=True, scoring="softmax",
+                                 residual_attn=True, attn_before_fc7=True,
+                                 scoring="softmax",
                                  bg="learned", mask_branch_relu=True,
                                  refine="pamr", clean_before_refine=True),
+    # tf_v4 = tf_v2 with sr_ratio 1 (full-resolution K/V; the ONLY diff,
+    # reference CAM_CASA_WGAP_tf_v4.py:222)
     "CAM_CASA_WGAP_tf_v4": _spec(name="CAM_CASA_WGAP_tf_v4", fc7=True,
-                                 self_attn="global", sr_ratio=3,
-                                 attn_nopad=True, channel_attn=True,
+                                 self_attn="global", sr_ratio=1,
+                                 channel_attn=True,
                                  spatial_attn=True, scoring="softmax",
                                  bg="learned", mask_branch_relu=True,
                                  refine="pamr", clean_before_refine=True),
@@ -559,6 +598,7 @@ MODEL_SPECS = {
                                  clean_before_refine=True),
     "CAM_CASA_WGAP_tf_v9": _spec(name="CAM_CASA_WGAP_tf_v9", fc7=True,
                                  self_attn="window", self_attn_ws=2,
+                                 conv3_tap="conv3_pre",
                                  talking=True, cross_query=True,
                                  channel_attn=True, spatial_attn=True,
                                  scoring="softmax", bg="learned",
@@ -566,13 +606,14 @@ MODEL_SPECS = {
                                  clean_before_refine=True),
     "CAM_CASA_WGAP_tf_v9_2": _spec(name="CAM_CASA_WGAP_tf_v9_2", fc7=True,
                                    self_attn="window", self_attn_ws=2,
+                                   conv3_tap="conv3_pre",
                                    cross_query=True, channel_attn=True,
                                    spatial_attn=True, scoring="softmax",
                                    bg="learned", mask_branch_relu=True,
                                    refine="pamr",
                                    clean_before_refine=True),
     "CAM_CASA_WGAP_tf_v10": _spec(name="CAM_CASA_WGAP_tf_v10", fc7=True,
-                                  self_attn="multiwindow",
+                                  sa_dim=512, self_attn="multiwindow",
                                   self_attn_ws=(2, 4),
                                   multi_window_norm=True,
                                   scoring="softmax", bg="learned",

@@ -129,39 +129,87 @@ _AE_HEAD_MAP = [
     ("last_conv.8", ("decoder", "last_conv3"), "conv_bias"),
 ]
 
-_TF_HEAD_MAP = [
-    ("fc7", ("fc7",), "conv"),
-    ("fc8", ("fc8",), "conv"),
-    ("selfattn.qkv", ("selfattn", "qkv"), "linear"),
-    ("selfattn.proj", ("selfattn", "proj"), "linear"),
-    ("caatention.fc1", ("caatention", "fc1"), "dense1x1"),
-    ("caatention.fc2", ("caatention", "fc2"), "dense1x1"),
-    ("attention.conv1", ("attention", "conv1"), "conv"),
-]
+def get_head_map(model_name: str):
+    """torch-prefix -> flax-path map for one model's head, derived from
+    its HeadSpec (so the converter covers all 26 reference variants).
 
-_BSL_HEAD_MAP = [
-    ("fc8", ("fc8",), "conv"),
-]
+    Reference attribute names are uniform across the variant files
+    (fc7/fc8/selfattn/caatention/attention/...; e.g.
+    models/CAM_CASA_WGAP_tf.py:253-269); tf_v3 renames its GroupAttention
+    to ``fc8`` and adds a 1x1 ``fc8_2`` (models/CAM_CASA_WGAP_tf_v3.py:
+    211-227), which we map onto our ``selfattn``/``fc8`` modules.
+    """
+    if model_name == "ae":
+        return list(_AE_HEAD_MAP)
+    from wseg_tpu.models.stage_net import MODEL_SPECS
 
-HEAD_MAPS = {
-    "ae": _AE_HEAD_MAP,
-    "bsl": _BSL_HEAD_MAP,
-    "CAM_CASA_WGAP_tf": _TF_HEAD_MAP,
-}
+    spec = MODEL_SPECS[model_name]
+    m = []
+
+    if spec.multilevel == "sum":
+        # CAM_MF per-level heads (reference models/CAM_MF.py:38-41)
+        for i, lv in ((6, "conv6"), (5, "conv5"), (4, "conv4"),
+                      (3, "conv3")):
+            m.append((f"fc8_{i}", (f"fc8_{lv}",), "conv"))
+        return m
+
+    if spec.fc7:
+        m.append(("fc7", ("fc7",), "conv"))
+
+    sa_t = "fc8" if spec.attn_before_fc7 else "selfattn"
+    if spec.self_attn == "global":
+        m += [(f"{sa_t}.q", ("selfattn", "q"), "linear"),
+              (f"{sa_t}.kv", ("selfattn", "kv"), "linear"),
+              (f"{sa_t}.proj", ("selfattn", "proj"), "linear")]
+        if spec.sr_ratio > 1:
+            m += [(f"{sa_t}.sr", ("selfattn", "sr"), "conv_bias"),
+                  (f"{sa_t}.norm", ("selfattn", "norm"), "ln")]
+    elif spec.self_attn:
+        if spec.cross_query:
+            m += [(f"{sa_t}.qk", ("selfattn", "qk"), "linear"),
+                  (f"{sa_t}.v", ("selfattn", "v"), "linear"),
+                  ("fc6", ("fc6",), "conv")]
+        else:
+            m.append((f"{sa_t}.qkv", ("selfattn", "qkv"), "linear"))
+        m.append((f"{sa_t}.proj", ("selfattn", "proj"), "linear"))
+        if spec.talking:
+            m += [(f"{sa_t}.pre_softmax_proj",
+                   ("selfattn", "pre_softmax_proj"), "param_t"),
+                  (f"{sa_t}.post_softmax_proj",
+                   ("selfattn", "post_softmax_proj"), "param_t")]
+
+    m.append(("fc8_2" if spec.attn_before_fc7 else "fc8", ("fc8",), "conv"))
+
+    if spec.multi_window_norm:
+        m += [("attn_conv", ("attn_conv",), "conv"),
+              ("norm", ("norm",), "ln")]
+    if spec.refine == "pcm":
+        m += [("f8_3", ("f8_3",), "conv"),
+              ("f8_4", ("f8_4",), "conv"),
+              ("f9", ("f9",), "conv")]
+    if spec.channel_attn:
+        m += [("caatention.fc1", ("caatention", "fc1"), "dense1x1"),
+              ("caatention.fc2", ("caatention", "fc2"), "dense1x1")]
+    if spec.spatial_attn:
+        m.append(("attention.conv1", ("attention", "conv1"), "conv"))
+    return m
 
 
-def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind):
+def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind,
+           problems=None):
     placed = 0
 
-    def put(tree, leaf, value):
+    def put(tree, leaf, value, full_key=None):
         nonlocal placed
-        key = tuple(flax_path) + (leaf,)
+        key = full_key or tuple(flax_path) + (leaf,)
         if key in tree and tree[key].shape == value.shape:
             tree[key] = np.asarray(value, np.float32)
             placed += 1
         else:
-            print(f"  convert: no slot for {torch_prefix} -> {key} "
-                  f"{value.shape}")
+            msg = (f"no slot for {torch_prefix} -> {key} {value.shape}")
+            if problems is not None:
+                problems.append(msg)
+            print(f"  convert: {msg}")
 
     w = sd.get(torch_prefix + ".weight")
     b = sd.get(torch_prefix + ".bias")
@@ -183,11 +231,16 @@ def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind):
             put(flat_params, "kernel", w[:, :, 0, 0].T)
         if b is not None:
             put(flat_params, "bias", b)
-    elif kind == "bn_affine":
+    elif kind in ("bn_affine", "ln"):
         if w is not None:
             put(flat_params, "scale", w)
         if b is not None:
             put(flat_params, "bias", b)
+    elif kind == "param_t":
+        # bare (out, in) matrix used as x @ W (talking-heads mixers,
+        # reference models/CAM_CASA_WGAP_tf_v7.py:111-112)
+        if w is not None:
+            put(flat_params, None, w.T, full_key=tuple(flax_path))
     elif kind == "bn_full":
         if w is not None:
             put(flat_params, "scale", w)
@@ -206,12 +259,13 @@ def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind):
 
 
 def load_reference_checkpoint(variables, pth_path: str, model_name: str,
-                              backbone: str):
+                              backbone: str, strict: bool = False):
     """Convert a full reference model checkpoint (backbone + head).
 
-    Supports the models with released weights ('ae', 'bsl',
-    'CAM_CASA_WGAP_tf').  Returns an updated ``variables`` dict with both
-    'params' and 'batch_stats' collections populated.
+    Covers every registry variant (the head map is derived from the
+    model's HeadSpec).  Returns an updated ``variables`` dict with both
+    'params' and 'batch_stats' collections populated.  ``strict`` raises
+    if any mapped head tensor has no matching slot.
     """
     sd = _load_state_dict(pth_path)
     params = dict(variables["params"])
@@ -221,12 +275,16 @@ def load_reference_checkpoint(variables, pth_path: str, model_name: str,
     stats = variables.get("batch_stats", {})
     flat_stats = dict(trav.flatten_dict(stats)) if stats else {}
 
-    head_map = HEAD_MAPS.get(model_name, [])
+    head_map = get_head_map(model_name)
     placed = 0
+    problems = []
     for torch_prefix, flax_path, kind in head_map:
         placed += _place(flat_params, flat_stats, sd, torch_prefix,
-                         flax_path, kind)
+                         flax_path, kind, problems)
     print(f"Converted {placed} head tensors for model '{model_name}'")
+    if strict and problems:
+        raise ValueError(f"conversion left {len(problems)} unplaced head "
+                         f"tensors: {problems}")
 
     out = dict(variables)
     out["params"] = trav.unflatten_dict(flat_params)
