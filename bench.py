@@ -97,13 +97,89 @@ def main():
     assert np.isfinite(final)
 
     img_per_sec = n_images / dt
+
+    e2e_img_per_sec = bench_e2e(model, variables)
+
     result = {
         "metric": "multiscale_inference_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+        # complete infer_val pipeline: batched multi-scale forward,
+        # on-device merge, label prediction, dense CRF (native C++
+        # permutohedral) and PNG writes for two thresholds (the
+        # reference's TEST_ID=[0,1] writer matrix)
+        "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
+        "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
+                                 2),
     }
     print(json.dumps(result), flush=True)
+
+
+def bench_e2e(model, variables, n_images: int = 16) -> float:
+    """images/sec through the complete infer_val path (reference
+    infer_val.py:112-143 + utils/inference_tools.py:61-126): multi-scale
+    batched forward -> device merge -> CRF -> thresholded PNG writes."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from wseg_tpu.config import cfg
+    from wseg_tpu.engine.serving import MultiScaleServer
+    from wseg_tpu.engine.writers import ResultWriter
+    from wseg_tpu.ops.crf_native import crf_inference_native
+
+    cfg.TEST.SCALES = [1.0, 0.5, 1.5, 2.0]
+    cfg.TEST.FLIP = True
+    cfg.TEST.PAD_PER_SCALE = True
+    cfg.TEST.PAD_ALIGN = 128
+    cfg.TEST.USE_GT_LABELS = True
+    cfg.TEST.DEVICE_MERGE = True
+    cfg.TEST.BG_POW = 3
+
+    out_dir = tempfile.mkdtemp(prefix="wseg_bench_")
+    rng = np.random.RandomState(0)
+    # same 512x384 geometry as the headline bench -> same pad buckets
+    images = [Image.fromarray(
+        (rng.rand(384, 512, 3) * 255).astype(np.uint8))
+        for _ in range(n_images)]
+    gt = np.zeros(20, np.float32)
+    gt[[3, 8]] = 1.0
+
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8)
+    server.warmup([(512, 384)])
+    writers = [ResultWriter(cfg.TEST, f"{out_dir}/t{t}", prospect_thresh=t,
+                            verbose=False, use_crf=True,
+                            crf_fn=crf_inference_native)
+               for t in (0.0, 0.1)]
+    pool = ThreadPoolExecutor(8)
+
+    def run(imgs):
+        futs = [server.submit(im, gt) for im in imgs]
+        writes = deque()
+        for i, (im, f) in enumerate(zip(imgs, futs)):
+            merged, labels = f.result()
+            image01 = np.asarray(im, np.float32) / 255.0
+            for wr in writers:
+                writes.append(pool.submit(wr.save, f"bench_{i}.jpg",
+                                          image01, merged))
+        while writes:
+            writes.popleft().result()
+
+    run(images[:2])  # warmup: merge-program compiles + CRF code paths
+    t0 = _time.perf_counter()
+    run(images)
+    dt = _time.perf_counter() - t0
+
+    server.close()
+    pool.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return n_images / dt
 
 
 if __name__ == "__main__":

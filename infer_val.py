@@ -88,6 +88,19 @@ def main(argv):
     entries = read_filelist(args.infer_list, cfg.TEST.DATA_ROOT)
     timer = Timer()
     N = len(entries)
+
+    # Post-processing (CRF + PNG writes) runs in a thread pool so the
+    # per-image CPU permutohedral CRF overlaps the device forward of the
+    # following images (the native CRF call releases the GIL).  The
+    # reference left this serial (its mp.Pool is commented out,
+    # reference infer_val.py:134-146).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = max(1, int(getattr(args, "workers", 4) or 4))
+    pool = ThreadPoolExecutor(n_workers)
+    futures = deque()
+
     for i, (img_path, mask_path) in enumerate(entries):
         image = Image.open(img_path).convert("RGB")
         gt_mask = np.asarray(Image.open(mask_path), np.int32) \
@@ -98,12 +111,19 @@ def main(argv):
         merged, labels = engine.run_image(image, gt_labels)
         image01 = np.asarray(image, np.float32) / 255.0
         for w in writers:
-            w.save(img_path, image01, merged, gt_mask)
+            futures.append(pool.submit(w.save, img_path, image01, merged,
+                                       gt_mask))
+        while len(futures) > 4 * n_workers:  # bound the queue
+            futures.popleft().result()
 
         timer.update_progress(float(i + 1) / N)
         if i % 100 == 0:
             print("[{}/{}] finish time: {}".format(
                 i, N, timer.str_est_finish()), flush=True)
+
+    while futures:
+        futures.popleft().result()
+    pool.shutdown()
 
 
 if __name__ == "__main__":

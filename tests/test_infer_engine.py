@@ -121,6 +121,7 @@ def test_device_merge_matches_host_merge(rng_np):
     """TPU-fast device merge must closely match the reference host merge."""
     eng = _engine(pad_per_scale=True)
     cfg.TEST.USE_GT_LABELS = True
+    cfg.TEST.DEVICE_MERGE = False  # reference host merge first
     eng.cfg = cfg.TEST
     img = _image(rng_np)
     gt = np.ones(20, np.float32)

@@ -37,18 +37,24 @@ class AttrDict(dict):
             raise AttributeError(name)
 
     def __setattr__(self, name, value):
-        if self.__dict__[AttrDict._IMMUTABLE]:
+        if self.is_immutable():
             raise AttributeError(
                 "Attempted to set '{}' on an immutable config".format(name)
             )
         self[name] = value
 
     def __setitem__(self, name, value):
-        if self.__dict__[AttrDict._IMMUTABLE]:
+        # __dict__ may not hold the latch yet: dict-subclass unpickling
+        # repopulates items via __setitem__ before __init__ runs (grain
+        # worker processes cloudpickle the dataset, which carries cfg)
+        if self.is_immutable():
             raise AttributeError(
                 "Attempted to set '{}' on an immutable config".format(name)
             )
         super().__setitem__(name, value)
+
+    def __reduce__(self):
+        return (AttrDict, (dict(self),))
 
     def immutable(self, flag: bool) -> None:
         """Recursively (un)freeze this config tree."""
@@ -58,7 +64,7 @@ class AttrDict(dict):
                 v.immutable(flag)
 
     def is_immutable(self) -> bool:
-        return self.__dict__[AttrDict._IMMUTABLE]
+        return self.__dict__.get(AttrDict._IMMUTABLE, False)
 
     def clone(self) -> "AttrDict":
         out = AttrDict()
@@ -102,7 +108,10 @@ def _default_cfg() -> AttrDict:
     c.TEST.PAD_PER_SCALE = False
     # TPU extension: merge scale/flip views on device and fetch only the
     # merged map (the reference merges on host, fetching every view).
-    c.TEST.DEVICE_MERGE = False
+    # Default ON: the host path fetches 8 full-resolution tensors per
+    # image over a ~30ms-RTT link; set False for bit-exact reference
+    # merge semantics (validated to agree in tests/test_infer_engine.py).
+    c.TEST.DEVICE_MERGE = True
     # TPU extension: round per-view pad sizes up to a multiple of this
     # (keeps XLA program count bounded and shapes MXU/VPU friendly).
     c.TEST.PAD_ALIGN = 128

@@ -52,9 +52,8 @@ def _tent_matrix(dst_n, src_n, dst_start, dst_len, src_start, src_len,
     return jax.nn.relu(1.0 - jnp.abs(y - j))
 
 
-@functools.partial(jax.jit, static_argnames=("merge_hw",))
-def _device_merge_bucket(masks, src_windows, dst_window, flips, merge_hw):
-    """Window-to-window resize + accumulate of one bucket's views.
+def _merge_views(masks, src_windows, dst_window, flips, H, W):
+    """Window-to-window resize + accumulate of one image's views.
 
     Args:
       masks: (B, Hs, Ws, C) per-view mask scores (padded canvas).
@@ -62,12 +61,11 @@ def _device_merge_bucket(masks, src_windows, dst_window, flips, merge_hw):
       dst_window: (4,) float window of the scale-1.0 view in the merge
         canvas — all views map onto it.
       flips: (B,) bool.
-      merge_hw: static merge canvas size.
+      H, W: merge canvas size (static).
     Returns:
-      (merge_H, merge_W, C) sum over views.
+      (H, W, C) sum over views.
     """
     b, hs, ws, c = masks.shape
-    H, W = merge_hw
 
     def one(view, srcw, flip):
         A_h = _tent_matrix(H, hs, dst_window[0], dst_window[2],
@@ -78,6 +76,48 @@ def _device_merge_bucket(masks, src_windows, dst_window, flips, merge_hw):
         return jnp.einsum("pw,owc->opc", A_w, out)
 
     return jnp.sum(jax.vmap(one)(masks, src_windows, flips), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("merge_hw",))
+def _device_merge_bucket(masks, src_windows, dst_window, flips, merge_hw):
+    """One image's bucket views -> (merge_H, merge_W, C) partial sum."""
+    return _merge_views(masks, src_windows, dst_window, flips,
+                        merge_hw[0], merge_hw[1])
+
+
+@functools.partial(jax.jit, static_argnames=("merge_hw",))
+def _device_merge_group(masks, src_windows, dst_windows, flips, merge_hw):
+    """Slot-batched merge for serving groups.
+
+    Args:
+      masks: (S, V, Hs, Ws, C) — S image slots, V views each.
+      src_windows: (S, V, 4); dst_windows: (S, 4); flips: (S, V).
+      merge_hw: static canvas (must hold every slot's dst window).
+    Returns:
+      (S, merge_H, merge_W, C) per-slot partial sums.
+    """
+    def per_slot(m, s, d, f):
+        return _merge_views(m, s, d, f, merge_hw[0], merge_hw[1])
+
+    return jax.vmap(per_slot)(masks, src_windows, dst_windows, flips)
+
+
+def finalize_device_merge(sum_map: np.ndarray, dst_window, size_hw,
+                          labels: np.ndarray, n_views: int,
+                          bg_pow: float) -> np.ndarray:
+    """Host tail of the device merge: cut the scale-1.0 valid window,
+    resize to the original size, clean absent channels, BG discount
+    (reference utils/inference_tools.py:155-160)."""
+    import cv2
+
+    pt, pl, vh, vw = dst_window
+    merged = np.asarray(sum_map, np.float32) / float(n_views)
+    merged = merged[pt:pt + vh, pl:pl + vw]
+    merged = cv2.resize(merged, (size_hw[1], size_hw[0]),
+                        interpolation=cv2.INTER_LINEAR)
+    merged[..., 1:] *= labels[None, None, :]
+    merged[..., 0] = np.power(merged[..., 0], bg_pow)
+    return merged
 
 
 class InferenceEngine:
@@ -166,8 +206,6 @@ class InferenceEngine:
         and the final resize to the original size happens once from the
         merge resolution instead of per view.
         """
-        import cv2
-
         w, h = image.size
         views, pads, flips = self.views.build(image)
         shapes = self.views.view_shapes(w, h)
@@ -193,14 +231,7 @@ class InferenceEngine:
                                      tuple(merge_hw))
             sum_m = m if sum_m is None else sum_m + m
 
-        merged = np.asarray(sum_m, np.float32) / len(views)
         labels = self.predict_labels(cls_views, gt_labels)
-
-        # extract the scale-1.0 valid window and resize to the original
-        pt, pl, vh, vw = pads[0]
-        merged = merged[pt:pt + vh, pl:pl + vw]
-        merged = cv2.resize(merged, (w, h),
-                            interpolation=cv2.INTER_LINEAR)
-        merged[..., 1:] *= labels[None, None, :]
-        merged[..., 0] = np.power(merged[..., 0], float(self.cfg.BG_POW))
+        merged = finalize_device_merge(sum_m, pads[0], (h, w), labels,
+                                       len(views), float(self.cfg.BG_POW))
         return merged, labels

@@ -143,6 +143,10 @@ class MultiScaleServer:
             batch = np.stack(arrs)
             pending.append((idxs, self.infer(self.variables, batch)))
 
+        if bool(getattr(self.cfg, "DEVICE_MERGE", False)):
+            self._finish_device_merge(group, per_image, pending)
+            return
+
         cls_out = [[None] * len(pi[0]) for pi in per_image]
         mask_out = [[None] * len(pi[0]) for pi in per_image]
         for idxs, (cls, masks) in pending:
@@ -154,12 +158,63 @@ class MultiScaleServer:
 
         for gi, (image, gt_labels, fut) in enumerate(group):
             _, pads, flips, size_hw = per_image[gi]
-            if bool(self.cfg.USE_GT_LABELS) and gt_labels is not None:
-                labels = gt_labels.astype(np.float32)
-            else:
-                sig = 1.0 / (1.0 + np.exp(-np.stack(cls_out[gi])))
-                labels = (sig.max(axis=0) >
-                          float(self.cfg.FP_CUT_SCORE)).astype(np.float32)
+            labels = self._labels(cls_out[gi], gt_labels)
             merged = merge_multiscale(mask_out[gi], pads, flips, labels,
                                       size_hw, float(self.cfg.BG_POW))
+            fut.set_result((merged, labels))
+
+    def _labels(self, cls_views, gt_labels):
+        if bool(self.cfg.USE_GT_LABELS) and gt_labels is not None:
+            return gt_labels.astype(np.float32)
+        sig = 1.0 / (1.0 + np.exp(-np.stack(cls_views)))
+        return (sig.max(axis=0) >
+                float(self.cfg.FP_CUT_SCORE)).astype(np.float32)
+
+    def _finish_device_merge(self, group, per_image, pending):
+        """Merge every image's views on device and fetch only the merged
+        maps (~1/num_views of the host-merge transfer volume).  Each
+        image's per-bucket views are contiguous, image-major slices of the
+        bucket batch, so the merge runs on static-shaped device slices."""
+        import jax.numpy as jnp
+
+        from wseg_tpu.engine.infer import (
+            _device_merge_bucket,
+            finalize_device_merge,
+        )
+
+        n = len(group)
+        cls_out = [[None] * len(pi[0]) for pi in per_image]
+        sums = [None] * n
+        merge_hw = []
+        for image, _, _ in group:
+            w, h = image.size
+            merge_hw.append(tuple(self.views.view_shapes(w, h)[0]))
+
+        for idxs, (cls, masks) in pending:
+            cls_np = np.asarray(jax.device_get(cls), np.float32)
+            for k, (gi, vi) in enumerate(idxs):
+                cls_out[gi][vi] = cls_np[k]
+            # contiguous per-image runs within the bucket
+            k = 0
+            while k < len(idxs):
+                gi = idxs[k][0]
+                k1 = k
+                while k1 < len(idxs) and idxs[k1][0] == gi:
+                    k1 += 1
+                vis = [vi for _, vi in idxs[k:k1]]
+                _, pads, flips, _ = per_image[gi]
+                src = jnp.asarray([pads[vi] for vi in vis], jnp.float32)
+                fl = jnp.asarray([flips[vi] for vi in vis])
+                dst = jnp.asarray(pads[0], jnp.float32)
+                m = _device_merge_bucket(masks[k:k1], src, dst, fl,
+                                         merge_hw[gi])
+                sums[gi] = m if sums[gi] is None else sums[gi] + m
+                k = k1
+
+        for gi, (image, gt_labels, fut) in enumerate(group):
+            _, pads, flips, size_hw = per_image[gi]
+            labels = self._labels(cls_out[gi], gt_labels)
+            merged = finalize_device_merge(
+                sums[gi], pads[0], size_hw, labels,
+                self.views.num_views, float(self.cfg.BG_POW))
             fut.set_result((merged, labels))
