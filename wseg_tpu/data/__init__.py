@@ -31,7 +31,16 @@ def get_class_names(dataset: str = "pascal_voc"):
 
 
 def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
-    """Reference-compatible loader factory (datasets/__init__.py:14-30)."""
+    """Reference-compatible loader factory (datasets/__init__.py:14-30).
+
+    The training split uses Grain worker PROCESSES by default (the
+    reference uses torch DataLoader worker processes; PIL decode+augment
+    only partially releases the GIL, so threads cannot keep a fast device
+    step fed).  Set ``WSEG_LOADER=threads`` to force the in-process
+    threaded loader (validation always uses it: eval batches are few).
+    """
+    import os
+
     shuffle = drop_last = split != "val_voc"
     dataset = VOCSegmentation(cfg.DATASET, split, root=cfg.DATASET.ROOT,
                               augment=shuffle,
@@ -39,6 +48,14 @@ def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
                               scoremap_path=scoremap_path)
     if batch_size is None:
         batch_size = cfg.TRAIN.BATCH_SIZE
+    workers = int(getattr(args, "workers", 4) or 0)
+    choice = os.environ.get("WSEG_LOADER", "grain")
+    if shuffle and workers > 0 and choice == "grain":
+        from wseg_tpu.data.grain_loader import make_train_loader
+        return make_train_loader(
+            dataset, batch_size, use_grain=True, shuffle=True,
+            drop_last=True, num_workers=workers,
+            seed=getattr(args, "random_seed", 0))
     return DataLoader(dataset, batch_size, shuffle=shuffle,
                       drop_last=drop_last,
-                      num_workers=getattr(args, "workers", 4))
+                      num_workers=workers or 1)

@@ -170,6 +170,24 @@ class DecTrainer:
         pretrain = epoch < int(cfg.TRAIN.PRETRAIN)
         mask_on = jnp.asarray(0.0 if pretrain else 1.0)
 
+        # Metrics stay on device and are fetched in batches every 10 steps
+        # so the dispatch pipeline is never stalled by a per-step host sync
+        # (the host<->device RTT dwarfs the step time on a relay-attached
+        # chip; the reference's .item()-per-step is a torch-ism,
+        # reference train.py:163-171).
+        pending = []
+        last = None
+
+        def _flush():
+            nonlocal last
+            if not pending:
+                return
+            for m in jax.device_get(pending):
+                for k, v in m.items():
+                    stat.update_stats(k, float(v))
+                last = m
+            pending.clear()
+
         profile_dir = getattr(self.args, "profile_dir", "")
         for i, batch in enumerate(self.trainloader):
             if profile_dir and epoch == self.start_epoch and i == 10:
@@ -178,21 +196,22 @@ class DecTrainer:
             db = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, db,
                                                   self.rng, mask_on)
-            for k, v in metrics.items():
-                stat.update_stats(k, float(v))
+            pending.append(metrics)
             if profile_dir and epoch == self.start_epoch and i == 20:
                 jax.profiler.stop_trace()
                 print("Profiler trace written to", profile_dir)
                 profile_dir = ""
 
             if i % 10 == 0:
+                _flush()
                 msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)
-                for k in sorted(metrics):
-                    msg += "{}: {:.4f} | ".format(k, float(metrics[k]))
+                for k in sorted(last):
+                    msg += "{}: {:.4f} | ".format(k, float(last[k]))
                 ips = (i + 1) * int(cfg.TRAIN.BATCH_SIZE) / \
                     timer.get_stage_elapsed()
                 print(msg + " | Im/Sec: {:.1f}".format(ips), flush=True)
 
+        _flush()
         for k in stat.vals:
             print("{}: {:4.3f}".format(k, stat.summarize_key(k)))
             if self.writer:
