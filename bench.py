@@ -106,8 +106,8 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
         # complete infer_val pipeline: batched multi-scale forward,
-        # on-device merge, label prediction, dense CRF (native C++
-        # permutohedral) and PNG writes for two thresholds (the
+        # on-device merge + writer math (threshold/argmax + 10-iter
+        # mean-field CRF on device), PNG writes for two thresholds (the
         # reference's TEST_ID=[0,1] writer matrix)
         "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
         "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
@@ -130,9 +130,9 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     from PIL import Image
 
     from wseg_tpu.config import cfg
+    from wseg_tpu.engine.infer import make_device_postprocess
     from wseg_tpu.engine.serving import MultiScaleServer
     from wseg_tpu.engine.writers import ResultWriter
-    from wseg_tpu.ops.crf_native import crf_inference_native
 
     cfg.TEST.SCALES = [1.0, 0.5, 1.5, 2.0]
     cfg.TEST.FLIP = True
@@ -140,6 +140,7 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     cfg.TEST.PAD_ALIGN = 128
     cfg.TEST.USE_GT_LABELS = True
     cfg.TEST.DEVICE_MERGE = True
+    cfg.TEST.UINT8_TRANSFER = True
     cfg.TEST.BG_POW = 3
 
     out_dir = tempfile.mkdtemp(prefix="wseg_bench_")
@@ -151,23 +152,27 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     gt = np.zeros(20, np.float32)
     gt[[3, 8]] = 1.0
 
-    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8)
+    threshs = (0.0, 0.1)
+    pp = make_device_postprocess(threshs, threshs, crf_iters=10,
+                                 bg_pow=3.0)
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8,
+                              postprocess=pp)
     server.warmup([(512, 384)])
-    writers = [ResultWriter(cfg.TEST, f"{out_dir}/t{t}", prospect_thresh=t,
-                            verbose=False, use_crf=True,
-                            crf_fn=crf_inference_native)
-               for t in (0.0, 0.1)]
+    writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
+                               prospect_thresh=t, verbose=False)
+               for t in threshs}
     pool = ThreadPoolExecutor(8)
 
     def run(imgs):
         futs = [server.submit(im, gt) for im in imgs]
         writes = deque()
         for i, (im, f) in enumerate(zip(imgs, futs)):
-            merged, labels = f.result()
+            res, labels = f.result()
             image01 = np.asarray(im, np.float32) / 255.0
-            for wr in writers:
-                writes.append(pool.submit(wr.save, f"bench_{i}.jpg",
-                                          image01, merged))
+            for t, wr in writers.items():
+                writes.append(pool.submit(
+                    wr.save_pred, f"bench_{i}.jpg", image01,
+                    res[t]["pred"], res[t].get("pred_crf")))
         while writes:
             writes.popleft().result()
 

@@ -67,8 +67,6 @@ def main(argv):
         else:
             print("WARNING: snapshot not found, using random init")
 
-    engine = InferenceEngine(model, variables, cfg.TEST)
-
     crf_fn = None
     if any(CRFS[i] for i in TEST_ID):
         # exact permutohedral CRF (native/densecrf); falls back to the
@@ -89,11 +87,6 @@ def main(argv):
     timer = Timer()
     N = len(entries)
 
-    # Post-processing (CRF + PNG writes) runs in a thread pool so the
-    # per-image CPU permutohedral CRF overlaps the device forward of the
-    # following images (the native CRF call releases the GIL).  The
-    # reference left this serial (its mp.Pool is commented out,
-    # reference infer_val.py:134-146).
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -101,25 +94,80 @@ def main(argv):
     pool = ThreadPoolExecutor(n_workers)
     futures = deque()
 
-    for i, (img_path, mask_path) in enumerate(entries):
+    def read_entry(img_path, mask_path):
         image = Image.open(img_path).convert("RGB")
         gt_mask = np.asarray(Image.open(mask_path), np.int32) \
             if mask_path and os.path.isfile(mask_path) else None
         gt_labels = labels_from_mask(gt_mask) if gt_mask is not None \
             else np.zeros(int(cfg.TEST.NUM_CLASSES) - 1, np.float32)
+        return image, gt_mask, gt_labels
 
-        merged, labels = engine.run_image(image, gt_labels)
-        image01 = np.asarray(image, np.float32) / 255.0
-        for w in writers:
-            futures.append(pool.submit(w.save, img_path, image01, merged,
-                                       gt_mask))
-        while len(futures) > 4 * n_workers:  # bound the queue
-            futures.popleft().result()
-
+    def progress(i):
         timer.update_progress(float(i + 1) / N)
         if i % 100 == 0:
             print("[{}/{}] finish time: {}".format(
                 i, N, timer.str_est_finish()), flush=True)
+
+    # Fast path: cross-image batched forward, on-device merge and writer
+    # math (threshold/argmax/CRF); only uint8 label maps leave the
+    # device.  Everything the writers need besides PNG encoding runs on
+    # the TPU.  Falls back to the per-image host pipeline for multicrop,
+    # heatmap/scoremap writers, or when the device extensions are off.
+    use_fast = (str(cfg.TEST.METHOD) == "multiscale"
+                and bool(cfg.TEST.DEVICE_MERGE)
+                and bool(getattr(cfg.TEST, "UINT8_TRANSFER", False))
+                and not any(HEATMAPS[i] or SCOREMAPS[i] for i in TEST_ID))
+    if use_fast:
+        from wseg_tpu.engine.infer import make_device_postprocess
+        from wseg_tpu.engine.serving import MultiScaleServer
+
+        threshs = [PROSPECT_THRESHS[i] for i in TEST_ID]
+        crf_threshs = [PROSPECT_THRESHS[i] for i in TEST_ID if CRFS[i]]
+        pp = make_device_postprocess(threshs, crf_threshs, crf_iters=10,
+                                     bg_pow=float(cfg.TEST.BG_POW))
+        server = MultiScaleServer(model, variables, cfg.TEST,
+                                  max_batch=int(cfg.TEST.BATCH_SIZE),
+                                  postprocess=pp)
+
+        def write_result(res, img_path, image01, gt_mask):
+            for k, idx in enumerate(TEST_ID):
+                t = PROSPECT_THRESHS[idx]
+                writers[k].save_pred(img_path, image01, res[t]["pred"],
+                                     res[t].get("pred_crf"), gt_mask)
+
+        inflight = deque()
+        for i, (img_path, mask_path) in enumerate(entries):
+            image, gt_mask, gt_labels = read_entry(img_path, mask_path)
+            image01 = np.asarray(image, np.float32) / 255.0
+            fut = server.submit(image, gt_labels)
+            inflight.append((i, fut, img_path, image01, gt_mask))
+            while len(inflight) > 2 * int(cfg.TEST.BATCH_SIZE):
+                j, f, p, im01, gm = inflight.popleft()
+                res, _ = f.result()
+                futures.append(pool.submit(write_result, res, p, im01, gm))
+                progress(j)
+        while inflight:
+            j, f, p, im01, gm = inflight.popleft()
+            res, _ = f.result()
+            futures.append(pool.submit(write_result, res, p, im01, gm))
+            progress(j)
+        server.close()
+    else:
+        # Per-image host pipeline (reference semantics).  CRF + PNG
+        # writes run in the thread pool so the CPU permutohedral CRF
+        # overlaps the device forward (the reference left this serial,
+        # its mp.Pool is commented out, reference infer_val.py:134-146).
+        engine = InferenceEngine(model, variables, cfg.TEST)
+        for i, (img_path, mask_path) in enumerate(entries):
+            image, gt_mask, gt_labels = read_entry(img_path, mask_path)
+            merged, labels = engine.run_image(image, gt_labels)
+            image01 = np.asarray(image, np.float32) / 255.0
+            for w in writers:
+                futures.append(pool.submit(w.save, img_path, image01,
+                                           merged, gt_mask))
+            while len(futures) > 4 * n_workers:  # bound the queue
+                futures.popleft().result()
+            progress(i)
 
     while futures:
         futures.popleft().result()

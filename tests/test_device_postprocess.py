@@ -1,0 +1,100 @@
+"""uint8 transfer + on-device writer math vs the host pipeline."""
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from wseg_tpu.config import cfg
+from wseg_tpu.engine.infer import InferenceEngine, make_device_postprocess
+from wseg_tpu.engine.serving import MultiScaleServer
+from wseg_tpu.engine.train_loop import init_test_variables
+from wseg_tpu.engine.writers import threshold_and_argmax
+from wseg_tpu.models import get_model
+
+
+def _setup(uint8: bool):
+    cfg.NET.MODEL = "bsl"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    cfg.TEST.SCALES = [1, 0.5]
+    cfg.TEST.FLIP = True
+    cfg.TEST.PAD_PER_SCALE = True
+    cfg.TEST.PAD_ALIGN = 32
+    cfg.TEST.USE_GT_LABELS = True
+    cfg.TEST.UINT8_TRANSFER = uint8
+    model = get_model(cfg.NET, num_classes=21)
+    variables = init_test_variables(model, jax.random.PRNGKey(0),
+                                    (1, 64, 64, 3))
+    return model, variables
+
+
+def _image(seed=0, w=80, h=60):
+    r = np.random.RandomState(seed)
+    return Image.fromarray((r.rand(h, w, 3) * 255).astype(np.uint8))
+
+
+def test_uint8_transfer_matches_float_path():
+    """Device-side normalise+pad of uint8 views must equal the host
+    float pipeline bit-for-bit at the merged-mask level."""
+    model, variables = _setup(uint8=False)
+    cfg.TEST.DEVICE_MERGE = False
+    eng_f = InferenceEngine(model, variables, cfg.TEST)
+    img = _image()
+    gt = np.ones(20, np.float32)
+    merged_f, _ = eng_f.run_image(img, gt)
+
+    cfg.TEST.UINT8_TRANSFER = True
+    eng_u = InferenceEngine(model, variables, cfg.TEST)
+    merged_u, _ = eng_u.run_image(img, gt)
+    np.testing.assert_allclose(merged_u, merged_f, atol=1e-5, rtol=1e-5)
+
+
+def test_device_postprocess_matches_host_writer_math():
+    """Server + device postprocess no-CRF preds == host threshold/argmax
+    on the device-merged map; CRF preds are valid label maps."""
+    model, variables = _setup(uint8=True)
+    cfg.TEST.DEVICE_MERGE = True
+    img = _image()
+    gt = np.ones(20, np.float32)
+
+    # host reference: device merge then host writer math
+    eng = InferenceEngine(model, variables, cfg.TEST)
+    merged, labels = eng.run_image(img, gt)
+    want = {t: threshold_and_argmax(merged, t) for t in (0.0, 0.3)}
+
+    pp = make_device_postprocess((0.0, 0.3), (0.3,), crf_iters=2,
+                                 bg_pow=float(cfg.TEST.BG_POW))
+    srv = MultiScaleServer(model, variables, cfg.TEST, max_batch=2,
+                           postprocess=pp)
+    try:
+        res, lab = srv.submit(img, gt).result(timeout=300)
+    finally:
+        srv.close()
+
+    np.testing.assert_array_equal(lab, labels)
+    for t in (0.0, 0.3):
+        assert res[t]["pred"].shape == want[t].shape
+        agree = (res[t]["pred"] == want[t]).mean()
+        assert agree > 0.999, (t, agree)
+    crf_pred = res[0.3]["pred_crf"]
+    assert crf_pred.shape == want[0.3].shape
+    assert crf_pred.dtype == np.uint8
+    assert crf_pred.max() <= 20
+
+
+def test_server_uint8_merged_matches_engine():
+    """Without postprocess, the uint8 server still returns merged maps
+    that match the per-image engine."""
+    model, variables = _setup(uint8=True)
+    cfg.TEST.DEVICE_MERGE = True
+    eng = InferenceEngine(model, variables, cfg.TEST)
+    srv = MultiScaleServer(model, variables, cfg.TEST, max_batch=2)
+    img = _image(3)
+    gt = np.ones(20, np.float32)
+    try:
+        got, _ = srv.submit(img, gt).result(timeout=300)
+    finally:
+        srv.close()
+    want, _ = eng.run_image(img, gt)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

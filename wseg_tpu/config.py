@@ -115,6 +115,10 @@ def _default_cfg() -> AttrDict:
     # TPU extension: round per-view pad sizes up to a multiple of this
     # (keeps XLA program count bounded and shapes MXU/VPU friendly).
     c.TEST.PAD_ALIGN = 128
+    # TPU extension: ship uint8 views and normalise + zero-pad on device
+    # (byte-exact: PIL resize outputs uint8; 4x less host->device
+    # traffic, which dominates on remote-attached chips).
+    c.TEST.UINT8_TRANSFER = True
 
     c.DATASET = AttrDict()
     c.DATASET.CROP_SIZE = 321

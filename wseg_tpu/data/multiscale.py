@@ -43,12 +43,16 @@ class MultiscaleViews:
 
     def __init__(self, scales: Sequence[float], flip: bool,
                  pad_size: Tuple[int, int], pad_per_scale: bool = False,
-                 pad_align: int = 128):
+                 pad_align: int = 128, transfer: str = "float32"):
         self.scales = list(scales)
         self.flip = flip
         self.pad_size = tuple(int(p) for p in pad_size)
         self.pad_per_scale = pad_per_scale
         self.pad_align = pad_align
+        # "uint8": ship raw resized pixels (4x less host->device traffic)
+        # and let the device normalise + zero the padding (exact: PIL
+        # resize outputs uint8 anyway, so nothing is quantised)
+        self.transfer = transfer
 
     @property
     def num_views(self) -> int:
@@ -76,6 +80,7 @@ class MultiscaleViews:
         w, h = image.size
         shapes = self.view_shapes(w, h)
         views, pads, flips = [], [], []
+        uint8 = self.transfer == "uint8"
         mean = np.asarray(MEAN, np.float32)
         std = np.asarray(STD, np.float32)
         for s, (ph, pw) in zip(self.scales, shapes):
@@ -84,13 +89,15 @@ class MultiscaleViews:
             for do_flip in ([False, True] if self.flip else [False]):
                 im = img_s.transpose(Image.FLIP_LEFT_RIGHT) if do_flip \
                     else img_s
-                arr = np.asarray(im, np.float32) / 255.0
-                arr = (arr - mean) / std
+                arr = np.asarray(im)
+                if not uint8:
+                    arr = (arr.astype(np.float32) / 255.0 - mean) / std
                 pad_h, pad_w = ph - th, pw - tw
                 assert pad_h >= 0 and pad_w >= 0, \
                     f"view {th}x{tw} exceeds pad {ph}x{pw}"
                 pt, pl = max(0, pad_h // 2), max(0, pad_w // 2)
-                canvas = np.zeros((ph, pw, 3), np.float32)
+                canvas = np.zeros((ph, pw, 3),
+                                  np.uint8 if uint8 else np.float32)
                 canvas[pt:pt + th, pl:pl + tw] = arr
                 views.append(canvas)
                 pads.append((pt, pl, th, tw))

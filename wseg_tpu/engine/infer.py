@@ -102,6 +102,73 @@ def _device_merge_group(masks, src_windows, dst_windows, flips, merge_hw):
     return jax.vmap(per_slot)(masks, src_windows, dst_windows, flips)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters"))
+def _device_postprocess_jit(sum_map, labels, window, img_u8, *, n_views,
+                            bg_pow, threshs, crf_threshs, crf_iters):
+    """Writer math on device: clean -> BG^pow -> (CRF) -> threshold ->
+    argmax, at the static merge-canvas shape.  Only (K, H, W) uint8 label
+    maps cross the link (the merged score map is ~84x bigger).
+
+    Mirrors reference utils/inference_tools.py:85-116 + utils/dcrf.py:6-21
+    (CRF = the batched XLA mean-field approximation, ops/crf.py)."""
+    merged = sum_map.astype(jnp.float32) / float(n_views)
+    fg = merged[..., 1:] * labels[None, None, :]
+    bg = jnp.power(jnp.clip(merged[..., :1], 0.0, None), float(bg_pow))
+    merged = jnp.concatenate([bg, fg], axis=-1)
+
+    def pred(m, t):
+        fgm = jnp.where(m[..., 1:] < t, 0.0, m[..., 1:])
+        s = jnp.concatenate([m[..., :1], fgm], axis=-1)
+        return jnp.argmax(s, axis=-1).astype(jnp.uint8)
+
+    preds = [pred(merged, float(t)) for t in threshs]
+    if crf_threshs:
+        from wseg_tpu.ops.crf import crf_inference_jax
+        h, w = merged.shape[0], merged.shape[1]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+        win = window.astype(jnp.int32)
+        valid = ((ri >= win[0]) & (ri < win[0] + win[2]) &
+                 (ci >= win[1]) & (ci < win[1] + win[3]))
+        q = crf_inference_jax(img_u8.astype(jnp.float32)[None],
+                              merged[None], t=int(crf_iters),
+                              valid_mask=valid.astype(jnp.float32)[None])
+        preds += [pred(q[0], float(t)) for t in crf_threshs]
+    return jnp.stack(preds)
+
+
+def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
+                            bg_pow: float = 3.0):
+    """Returns pp(sum_map, labels, window, img_u8_canvas, size_hw,
+    n_views) -> dict thresh -> {"pred": (h,w) uint8, "pred_crf": ...}.
+
+    The scale-1.0 window IS the original resolution, so cutting it on
+    host yields exactly the reference's final map (the reference's
+    bilinear resize-to-original is an identity there)."""
+    threshs = tuple(float(t) for t in threshs)
+    crf_threshs = tuple(float(t) for t in crf_threshs)
+
+    def pp(sum_map, labels, window, img_u8, size_hw, n_views):
+        preds = _device_postprocess_jit(
+            sum_map, jnp.asarray(labels, jnp.float32),
+            jnp.asarray(window, jnp.int32), jnp.asarray(img_u8),
+            n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
+            crf_threshs=crf_threshs, crf_iters=int(crf_iters))
+        preds = np.asarray(jax.device_get(preds))
+        pt, pl, vh, vw = window
+        assert (vh, vw) == tuple(size_hw), (window, size_hw)
+        cut = preds[:, pt:pt + vh, pl:pl + vw]
+        out = {}
+        for k, t in enumerate(threshs):
+            out[t] = {"pred": cut[k]}
+        for k, t in enumerate(crf_threshs):
+            out.setdefault(t, {})["pred_crf"] = cut[len(threshs) + k]
+        return out
+
+    return pp
+
+
 def finalize_device_merge(sum_map: np.ndarray, dst_window, size_hw,
                           labels: np.ndarray, n_views: int,
                           bg_pow: float) -> np.ndarray:
@@ -125,13 +192,16 @@ class InferenceEngine:
         self.model = model
         self.variables = variables
         self.cfg = test_cfg
-        self.infer = make_infer_fn(model)  # jit caches per shape
         method = str(test_cfg.METHOD)
+        self.uint8 = (method == "multiscale" and
+                      bool(getattr(test_cfg, "UINT8_TRANSFER", False)))
+        self.infer = make_infer_fn(model, device_norm=self.uint8)
         if method == "multiscale":
             self.views = MultiscaleViews(
                 test_cfg.SCALES, bool(test_cfg.FLIP), test_cfg.PAD_SIZE,
                 bool(getattr(test_cfg, "PAD_PER_SCALE", False)),
-                int(getattr(test_cfg, "PAD_ALIGN", 128)))
+                int(getattr(test_cfg, "PAD_ALIGN", 128)),
+                transfer="uint8" if self.uint8 else "float32")
         elif method in ("multicrop", "crop"):
             self.views = CropViews(test_cfg.CROP_SIZE,
                                    test_cfg.CROP_GRID_SIZE,
@@ -141,7 +211,14 @@ class InferenceEngine:
             raise NotImplementedError(f"Method {method} is unknown")
         self.method = method
 
-    def _forward_views(self, views: List[np.ndarray]):
+    def _infer_batch(self, batch, pads_rows):
+        """Dispatch one bucket batch (uint8 path passes pad windows)."""
+        if self.uint8:
+            return self.infer(self.variables, batch,
+                              np.asarray(pads_rows, np.int32))
+        return self.infer(self.variables, batch)
+
+    def _forward_views(self, views: List[np.ndarray], pads=None):
         """Group same-shape views into batches; returns per-view
         (cls, mask) in original order.
 
@@ -156,7 +233,8 @@ class InferenceEngine:
         pending = []
         for shape, idxs in buckets.items():
             batch = np.stack([views[i] for i in idxs])
-            pending.append((idxs, self.infer(self.variables, batch)))
+            wins = [pads[i] for i in idxs] if pads is not None else None
+            pending.append((idxs, self._infer_batch(batch, wins)))
         for idxs, (cls, masks) in pending:
             cls = np.asarray(jax.device_get(cls), np.float32)
             masks = np.asarray(jax.device_get(masks), np.float32)
@@ -183,7 +261,7 @@ class InferenceEngine:
             if bool(getattr(self.cfg, "DEVICE_MERGE", False)):
                 return self._run_image_device_merge(image, gt_labels)
             views, pads, flips = self.views.build(image)
-            cls_views, mask_views = self._forward_views(views)
+            cls_views, mask_views = self._forward_views(views, pads)
             labels = self.predict_labels(cls_views, gt_labels)
             merged = merge_multiscale(mask_views, pads, flips, labels,
                                       (h, w), float(self.cfg.BG_POW))
@@ -223,7 +301,7 @@ class InferenceEngine:
             batch = np.stack([views[i] for i in idxs])
             src_windows = np.asarray([pads[i] for i in idxs], np.float32)
             fl = np.asarray([flips[i] for i in idxs])
-            cls, masks = self.infer(self.variables, batch)
+            cls, masks = self._infer_batch(batch, [pads[i] for i in idxs])
             for k, i in enumerate(idxs):
                 cls_views[i] = np.asarray(cls[k], np.float32)
             m = _device_merge_bucket(masks, jnp.asarray(src_windows),

@@ -29,15 +29,25 @@ from wseg_tpu.engine.train_loop import make_infer_fn
 
 class MultiScaleServer:
     def __init__(self, model, variables, test_cfg, max_batch: int = 4,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, postprocess=None):
         self.model = model
         self.variables = variables
         self.cfg = test_cfg
-        self.infer = make_infer_fn(model)
+        self.uint8 = bool(getattr(test_cfg, "UINT8_TRANSFER", False))
+        self.infer = make_infer_fn(model, device_norm=self.uint8)
         self.views = MultiscaleViews(
             test_cfg.SCALES, bool(test_cfg.FLIP), test_cfg.PAD_SIZE,
             bool(getattr(test_cfg, "PAD_PER_SCALE", True)),
-            int(getattr(test_cfg, "PAD_ALIGN", 128)))
+            int(getattr(test_cfg, "PAD_ALIGN", 128)),
+            transfer="uint8" if self.uint8 else "float32")
+        # optional device writer-math hook (engine.infer.
+        # make_device_postprocess); futures then resolve to
+        # (postprocess_result, labels) instead of (merged, labels)
+        self.postprocess = postprocess
+        if postprocess is not None:
+            assert self.uint8, \
+                "device postprocess needs TEST.UINT8_TRANSFER (its CRF " \
+                "reads the raw uint8 scale-1.0 view)"
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -55,14 +65,21 @@ class MultiScaleServer:
         vpi = self.views.num_views // len(self.views.scales)
         cap = vpi * self.max_batch
         seen = set()
+        dt = np.uint8 if self.uint8 else np.float32
         for (w, h) in image_sizes:
             for (ph, pw) in self.views.view_shapes(w, h):
                 if (ph, pw) in seen:
                     continue
                 seen.add((ph, pw))
-                dummy = np.zeros((cap, ph, pw, 3), np.float32)
-                cls, masks = self.infer(self.variables, dummy)
+                dummy = np.zeros((cap, ph, pw, 3), dt)
+                cls, masks = self._infer(dummy, np.zeros((cap, 4)))
                 np.asarray(jax.device_get(cls))
+
+    def _infer(self, batch, pads_rows):
+        if self.uint8:
+            return self.infer(self.variables, batch,
+                              np.asarray(pads_rows, np.int32))
+        return self.infer(self.variables, batch)
 
     def submit(self, image: Image.Image,
                gt_labels: Optional[np.ndarray] = None) -> Future:
@@ -134,14 +151,16 @@ class MultiScaleServer:
         pending = []
         for shape, idxs in buckets.items():
             arrs = [per_image[gi][0][vi] for gi, vi in idxs]
+            wins = [per_image[gi][1][vi] for gi, vi in idxs]
             n_real = len(arrs)
             pad_n = (-n_real) % cap
             if n_real < cap:
                 pad_n = cap - n_real
             if pad_n:
                 arrs = arrs + [np.zeros_like(arrs[0])] * pad_n
+                wins = wins + [(0, 0, 0, 0)] * pad_n
             batch = np.stack(arrs)
-            pending.append((idxs, self.infer(self.variables, batch)))
+            pending.append((idxs, self._infer(batch, wins)))
 
         if bool(getattr(self.cfg, "DEVICE_MERGE", False)):
             self._finish_device_merge(group, per_image, pending)
@@ -212,8 +231,15 @@ class MultiScaleServer:
                 k = k1
 
         for gi, (image, gt_labels, fut) in enumerate(group):
-            _, pads, flips, size_hw = per_image[gi]
+            views, pads, flips, size_hw = per_image[gi]
             labels = self._labels(cls_out[gi], gt_labels)
+            if self.postprocess is not None:
+                # device writer-math: only uint8 label maps are fetched
+                res = self.postprocess(sums[gi], labels, pads[0],
+                                       views[0], size_hw,
+                                       self.views.num_views)
+                fut.set_result((res, labels))
+                continue
             merged = finalize_device_merge(
                 sums[gi], pads[0], size_hw, labels,
                 self.views.num_views, float(self.cfg.BG_POW))

@@ -188,10 +188,39 @@ def make_vis_step(model: StageNet):
     return jax.jit(step_fn)
 
 
-def make_infer_fn(model: StageNet):
-    """Test-mode forward: fn(variables, image) -> (cls, masks)."""
+def make_infer_fn(model: StageNet, device_norm: bool = False):
+    """Test-mode forward: fn(variables, image) -> (cls, masks).
+
+    ``device_norm``: takes uint8 views + per-view pad windows (B, 4)
+    (pt, pl, h, w), normalises with ImageNet stats on device, and zeroes
+    the padded region — byte-exact with the host pipeline (the host views
+    are PIL-resized uint8 normalised then zero-padded,
+    data/multiscale.py) at 1/4 the host->device bytes.
+    """
+    if not device_norm:
+        @jax.jit
+        def infer(variables, image):
+            out = model.apply(variables, image, train=False)
+            return out.cls, out.masks
+        return infer
+
+    from wseg_tpu.data.pascal_voc import MEAN, STD
+    mean = jnp.asarray(MEAN, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+
     @jax.jit
-    def infer(variables, image):
-        out = model.apply(variables, image, train=False)
+    def infer_u8(variables, image_u8, windows):
+        b, h, w, _ = image_u8.shape
+        x = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+        win = windows.astype(jnp.int32)
+        pt = win[:, 0][:, None, None, None]
+        pl = win[:, 1][:, None, None, None]
+        vh = win[:, 2][:, None, None, None]
+        vw = win[:, 3][:, None, None, None]
+        inside = (ri >= pt) & (ri < pt + vh) & (ci >= pl) & (ci < pl + vw)
+        x = jnp.where(inside, x, 0.0)
+        out = model.apply(variables, x, train=False)
         return out.cls, out.masks
-    return infer
+    return infer_u8

@@ -61,6 +61,30 @@ class ResultWriter:
                  alpha: float = 0.3) -> np.ndarray:
         return alpha * image01 + (1 - alpha) * _mask2rgb(mask)
 
+    def save_pred(self, img_name: str, image01: np.ndarray,
+                  pred: np.ndarray, pred_crf: Optional[np.ndarray] = None,
+                  gt_mask: Optional[np.ndarray] = None):
+        """Save precomputed label maps (the device-postprocess path: the
+        threshold/argmax/CRF math already ran on device)."""
+        name = os.path.basename(img_name)
+        for ext in (".jpg", ".png"):
+            if name.endswith(ext):
+                name = name[: -len(ext)]
+        _save_indexed_png(os.path.join(self.root, "no_crf", name + ".png"),
+                          pred)
+        if pred_crf is not None:
+            _save_indexed_png(os.path.join(self.root, "crf", name + ".png"),
+                              pred_crf)
+        if self.verbose and gt_mask is not None:
+            panels = [pred] + ([pred_crf] if pred_crf is not None else []) \
+                + [gt_mask]
+            strip = np.concatenate(panels, axis=1).astype(np.uint8)
+            imgs = np.concatenate([image01] * len(panels), axis=1)
+            overlay = self._overlay(strip, imgs)
+            out = np.round(255.0 * overlay).astype(np.uint8)
+            Image.fromarray(out).save(
+                os.path.join(self.root, "vis", name + ".png"))
+
     def save(self, img_name: str, image01: np.ndarray,
              merged_mask: np.ndarray, gt_mask: Optional[np.ndarray] = None):
         """Args: image01 (H,W,3) in [0,1]; merged_mask (H,W,C) scores."""
