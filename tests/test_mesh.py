@@ -1,0 +1,70 @@
+"""Mesh construction: DCN-aware multi-slice layout + CPU-mesh behaviour.
+
+The reference has no multi-node story at all (SURVEY.md §2.10: single
+process nn.DataParallel, reference train.py:112-113); multi-slice is a
+TPU-native extension, so these tests pin down the layout contract."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from wseg_tpu.parallel import make_mesh
+from wseg_tpu.parallel.mesh import _device_grid, _slice_major_order
+
+
+@dataclasses.dataclass(frozen=True)
+class FakeDev:
+    id: int
+    slice_index: int
+
+
+def _fleet(n_slices, per_slice, interleave=True):
+    """Device list as a runtime might hand it out (slice-interleaved)."""
+    devs = [FakeDev(id=s * per_slice + i, slice_index=s)
+            for s in range(n_slices) for i in range(per_slice)]
+    if interleave:
+        devs = devs[::2] + devs[1::2]
+    return devs
+
+
+def test_slice_major_order_groups_slices():
+    order = _slice_major_order(_fleet(2, 4))
+    assert [d.slice_index for d in order] == [0] * 4 + [1] * 4
+    assert [d.id for d in order] == list(range(8))
+
+
+def test_multislice_data_axis_is_slice_major():
+    grid = _device_grid(_fleet(2, 4), n_data=8, n_space=1)
+    assert grid.shape == (8, 1)
+    # first half of the data axis = slice 0, second half = slice 1
+    assert [d.slice_index for d in grid[:, 0]] == [0] * 4 + [1] * 4
+
+
+def test_multislice_space_axis_stays_within_slice():
+    grid = _device_grid(_fleet(2, 4), n_data=4, n_space=2)
+    assert grid.shape == (4, 2)
+    for row in grid:
+        assert len({d.slice_index for d in row}) == 1
+
+
+def test_truncation_cannot_mix_slices():
+    # 2 slices of 3; asking for 4 devices would leave slice 1 with a
+    # partial group -> refuse rather than silently mix DCN into a row
+    with pytest.raises(ValueError, match="unevenly"):
+        _device_grid(_fleet(2, 3), n_data=4, n_space=1)
+
+
+def test_data_axis_must_divide_slices():
+    # 3 slices of 2, data axis 2 with space 3: even spread but the data
+    # axis cannot be cut into 3 slice-major groups
+    with pytest.raises(ValueError, match="data axis"):
+        _device_grid(_fleet(3, 2), n_data=2, n_space=3)
+
+
+def test_cpu_mesh_single_slice_path():
+    # CPU devices carry no slice_index -> plain reshape, original order
+    mesh = make_mesh(n_data=4, n_space=2, devices=jax.devices()[:8])
+    assert mesh.shape == {"data": 4, "space": 2}
+    assert list(np.asarray(mesh.devices).reshape(-1)) == jax.devices()[:8]

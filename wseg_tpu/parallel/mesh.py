@@ -10,6 +10,13 @@ A second ``space`` axis is available for sharding large-image inference
 over H (XLA inserts halo exchanges for the convolutions automatically);
 mesh construction keeps it size-1 by default so the same code runs
 single-chip.
+
+Multi-slice: when the device set spans several TPU slices (each device
+carries a ``slice_index``), the ``data`` axis is laid out slice-major so
+its gradient all-reduce decomposes hierarchically — reduce-scatter over
+ICI within each slice, then the (much smaller) cross-slice hop over DCN.
+The ``space`` axis (convolution halo exchanges every layer) is always
+kept within a slice.
 """
 
 from __future__ import annotations
@@ -19,13 +26,56 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _slice_major_order(devices):
+    """Sort devices so same-slice devices are contiguous (DCN-aware).
+
+    Devices without a slice index (CPU meshes, single-slice) sort as one
+    group, preserving the original single-slice behaviour.
+    """
+    def key(d):
+        s = getattr(d, "slice_index", None)
+        return (s if s is not None else 0, d.id)
+    return sorted(devices, key=key)
+
+
+def _device_grid(devices, n_data: int, n_space: int):
+    """(data, space) device array, slice-major along ``data``.
+
+    Single-slice: plain reshape.  Multi-slice: the data axis iterates
+    slices slowest — (data_dcn, data_ici, space) collapsed to (data,
+    space) — so contiguous data shards share a slice and XLA's gradient
+    all-reduce goes ICI-first with one DCN hop at the top.
+    """
+    devices = _slice_major_order(devices)[: n_data * n_space]
+    counts = {}
+    for d in devices:
+        s = getattr(d, "slice_index", None)
+        counts[s] = counts.get(s, 0) + 1
+    n_slices = len(counts)
+    if n_slices > 1:
+        if len(set(counts.values())) != 1:
+            raise ValueError(
+                f"selected devices spread unevenly over slices "
+                f"({counts}); pick n_data*n_space a multiple of the "
+                f"slice size")
+        if n_data % n_slices:
+            raise ValueError(
+                f"data axis ({n_data}) must divide evenly over "
+                f"{n_slices} slices")
+        # per_slice = (n_data/n_slices)*n_space, so each (data, :) row
+        # sits inside one slice by construction — the space axis (conv
+        # halo exchanges every layer) never crosses DCN.
+        return np.asarray(devices, dtype=object).reshape(
+            n_slices, n_data // n_slices, n_space).reshape(n_data, n_space)
+    return np.asarray(devices, dtype=object).reshape(n_data, n_space)
+
+
 def make_mesh(n_data: int | None = None, n_space: int = 1,
               devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_space
-    dev = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
-    return Mesh(dev, ("data", "space"))
+    return Mesh(_device_grid(devices, n_data, n_space), ("data", "space"))
 
 
 def shard_batch(mesh: Mesh, tree):
