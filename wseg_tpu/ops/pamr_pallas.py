@@ -5,14 +5,21 @@ HBM-bound ops whose C=21/K=3 minor dims get padded to 128 lanes (up to
 42x physical inflation) — measured 156-336 ms for 10 iterations at
 (8,96,96,21) on v5e depending on layout.  Pallas versions tried:
 
-  * unaligned VMEM window slices     -> Mosaic per-element copies, 281 ms
+  * unaligned VMEM window slices     -> Mosaic per-element copies
   * shifts as MXU band matmuls       -> exact f32 needs 6-pass HIGHEST
-                                        precision, 239 ms
-  * THIS: one sublane rotate per distinct dy (13, not 48) + one lane
-    rotate per tap, offset-0 slices (always aligned), accumulation
-    through a VMEM ref, and all ``num_iter`` Jacobi iterations inside
-    ONE kernel with the padded mask living in VMEM scratch (borders
-    re-replicated in-kernel) — HBM sees each input exactly once.
+                                        precision (16.7 ms chained)
+  * dy-grouped rotates               -> 13 sublane + 48 LANE rolls/iter,
+                                        2.91 ms chained
+  * THIS: dx-grouped rotates — ONE lane rotate per distinct column
+    offset (13, not 48) + one cheap sublane rotate per tap, offset-0
+    slices (always aligned), accumulation through a VMEM ref, and all
+    ``num_iter`` Jacobi iterations inside ONE kernel with the padded
+    mask living in VMEM scratch (borders re-replicated in-kernel) —
+    HBM sees each input exactly once.  2.20 ms chained at
+    (8,96,96,21) x 10 iters on v5e vs 11.99 ms for the XLA lax path
+    (device-chained timing; see tools/bench_pamr.py — dispatch-paced
+    numbers through the relay are ~1 ms higher, and round-1's
+    "137-158 ms" history was serialized-fetch measurement artifact).
 
 PAMR runs at mask (stride 4-8) resolution (reference
 models/SoftMaxAE.py:176-179), i.e. H, W <= ~130; per-batch-item buffers
@@ -43,6 +50,14 @@ def _dy_groups(taps):
     groups = {}
     for t, (dy, dx) in enumerate(taps):
         groups.setdefault(dy, []).append((t, dx))
+    return sorted(groups.items())
+
+
+def _dx_groups(taps):
+    """Group tap indices by their column offset: [(dx, [(t, dy), ...])]."""
+    groups = {}
+    for t, (dy, dx) in enumerate(taps):
+        groups.setdefault(dx, []).append((t, dy))
     return sorted(groups.items())
 
 
@@ -82,16 +97,15 @@ def _propagate_kernel(mask_ref, aff_ref, out_ref, mpad_ref,
         # (SSA accumulation kept ~33 MB of vectors live and blew the
         # scoped-VMEM stack)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
-        for dy, group in groups:
-            # one sublane rotate per distinct row offset, then drop the
-            # halo rows (offset-0 slice, aligned) so the per-tap lane
-            # rotates move ~1/3 fewer bytes — the rotates are the cost
-            # here (a shifts-as-MXU-matmul variant needed 6-pass HIGHEST
-            # precision for exactness and was slower)
-            r = pltpu.roll(mpad_ref[...], (hp - (pad + dy)) % hp,
-                           1)[:, :h, :]
-            for t, dx in group:
-                win = pltpu.roll(r, (wp - (pad + dx)) % wp, 2)[:, :, :w]
+        for dx, group in groups:
+            # ONE lane rotate per distinct column offset (13/iter), then
+            # a cheap sublane rotate per tap: lane rotates are cross-vreg
+            # shuffles and dominate — dy-grouping (48 lane rolls/iter)
+            # measures 2.91 ms vs 2.20 ms for this ordering
+            rx = pltpu.roll(mpad_ref[...], (wp - (pad + dx)) % wp,
+                            2)[:, :, :w]
+            for t, dy in group:
+                win = pltpu.roll(rx, (hp - (pad + dy)) % hp, 1)[:, :h, :]
                 acc_ref[...] += aff_ref[0, t][None, :, :] * win
         write_padded(acc_ref[...])
         return carry
@@ -109,7 +123,7 @@ def pamr_propagate_pallas(aff, mask, dilations=(1, 2, 4, 8, 12, 24),
     t = aff.shape[-1]
     assert t == len(taps), (t, len(taps))
 
-    groups = _dy_groups(taps)
+    groups = _dx_groups(taps)
 
     mask_chw = jnp.transpose(mask.astype(jnp.float32), (0, 3, 1, 2))
     aff_thw = jnp.transpose(aff.astype(jnp.float32), (0, 3, 1, 2))
