@@ -49,12 +49,17 @@ def main():
     state, metrics = step(state, batch, rng, jnp.asarray(1.0))
     float(metrics["loss"])  # force compile + first run
 
+    # Steady state: dispatch n steps back-to-back (each chains on the
+    # previous state on device) and fetch ONE final loss — matching the
+    # trainer, which batches metric fetches every LOG_EVERY steps.  A
+    # per-step fetch would add the ~30 ms relay round trip to every step.
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = step(state, batch, rng, jnp.asarray(1.0))
-        float(metrics["loss"])  # forces completion on relayed backends
+    final = float(metrics["loss"])  # forces the whole chain to complete
     dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(final)
 
     print(json.dumps({
         "metric": "flagship_train_step_images_per_sec_per_chip",
