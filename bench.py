@@ -141,6 +141,7 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     cfg.TEST.USE_GT_LABELS = True
     cfg.TEST.DEVICE_MERGE = True
     cfg.TEST.UINT8_TRANSFER = True
+    cfg.TEST.DEVICE_VIEWS = True
     cfg.TEST.BG_POW = 3
 
     out_dir = tempfile.mkdtemp(prefix="wseg_bench_")

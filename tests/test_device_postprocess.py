@@ -23,6 +23,9 @@ def _setup(uint8: bool):
     cfg.TEST.PAD_ALIGN = 32
     cfg.TEST.USE_GT_LABELS = True
     cfg.TEST.UINT8_TRANSFER = uint8
+    # these tests pin the host view pipeline (bit-exactness claims);
+    # the device view generator has its own goldens, test_view_gen.py
+    cfg.TEST.DEVICE_VIEWS = False
     model = get_model(cfg.NET, num_classes=21)
     variables = init_test_variables(model, jax.random.PRNGKey(0),
                                     (1, 64, 64, 3))

@@ -29,6 +29,9 @@ def _apply_cfg():
     cfg.TEST.PAD_ALIGN = 16
     cfg.TEST.USE_GT_LABELS = False
     cfg.TEST.FP_CUT_SCORE = 0.1
+    # exact-parity tests pin the host view pipeline; the device view
+    # path has its own approximate-parity test below
+    cfg.TEST.DEVICE_VIEWS = False
 
 
 @pytest.fixture(scope="module")
@@ -83,3 +86,36 @@ def test_server_mixed_sizes(model_vars, rng_np):
             assert merged.shape == (h, w, 21)
     finally:
         server.close()
+
+
+def test_server_device_views_close_to_host_views(model_vars, rng_np):
+    """DEVICE_VIEWS (one original upload, resize/flip/pad on device)
+    must agree with the host-PIL view path up to the documented ~LSB
+    view deviation (ops/view_gen.py), including mixed image sizes and
+    predicted (non-GT) labels."""
+    _apply_cfg()
+    model, variables = model_vars
+
+    def run(device_views):
+        cfg.TEST.DEVICE_VIEWS = device_views
+        server = MultiScaleServer(model, variables, cfg.TEST,
+                                  max_batch=3, max_wait_ms=50)
+        try:
+            imgs = [Image.fromarray(
+                (np.random.RandomState(7 + i).rand(h, w, 3) * 255)
+                .astype(np.uint8))
+                for i, (h, w) in enumerate([(40, 48), (48, 40),
+                                            (40, 48)])]
+            futures = [server.submit(im) for im in imgs]
+            return [f.result(timeout=300) for f in futures]
+        finally:
+            server.close()
+
+    host = run(False)
+    dev = run(True)
+    for (m_h, l_h), (m_d, l_d) in zip(host, dev):
+        assert m_d.shape == m_h.shape
+        assert np.abs(m_d - m_h).mean() < 5e-3, np.abs(m_d - m_h).mean()
+        am = (np.argmax(m_d, -1) == np.argmax(m_h, -1)).mean()
+        assert am > 0.97, am
+        np.testing.assert_array_equal(l_d, l_h)

@@ -119,6 +119,12 @@ def _default_cfg() -> AttrDict:
     # (byte-exact: PIL resize outputs uint8; 4x less host->device
     # traffic, which dominates on remote-attached chips).
     c.TEST.UINT8_TRANSFER = True
+    # TPU extension: generate the scale/flip views on device too — ONE
+    # uint8 original upload per image, cubic resize/flip/pad as MXU
+    # matmuls (ops/view_gen.py).  ~num_views less upload volume and no
+    # host PIL resizes.  Views match PIL within ~2/255 per pixel
+    # (tests/test_view_gen.py); set False for the byte-exact host path.
+    c.TEST.DEVICE_VIEWS = True
 
     c.DATASET = AttrDict()
     c.DATASET.CROP_SIZE = 321

@@ -70,6 +70,35 @@ class MultiscaleViews:
                 shapes.append(self.pad_size)
         return shapes
 
+    def view_windows(self, w: int, h: int):
+        """(pads, flips) per flat view id — the window arithmetic of
+        ``build`` without touching pixels (used by the device-side view
+        generator, ops/view_gen.py)."""
+        pads, flips = [], []
+        for s, (ph, pw) in zip(self.scales, self.view_shapes(w, h)):
+            tw, th = int(round(w * s)), int(round(h * s))
+            pt, pl = max(0, (ph - th) // 2), max(0, (pw - tw) // 2)
+            for do_flip in ([False, True] if self.flip else [False]):
+                pads.append((pt, pl, th, tw))
+                flips.append(do_flip)
+        return pads, flips
+
+    def build_device(self, image: Image.Image, canvas_hw):
+        """Host side of the device view path: place the original into a
+        static uint8 canvas; all resize/flip/pad happens on device.
+
+        Returns (canvas (Hc, Wc, 3) uint8, owin (4,), pads, flips) with
+        pads/flips as in ``build``.  The original sits at the canvas
+        top-left, owin = (0, 0, h, w).
+        """
+        w, h = image.size
+        ch, cw = canvas_hw
+        assert h <= ch and w <= cw, ((h, w), canvas_hw)
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:h, :w] = np.asarray(image.convert("RGB"))
+        pads, flips = self.view_windows(w, h)
+        return canvas, (0, 0, h, w), pads, flips
+
     def build(self, image: Image.Image):
         """Returns (views, pads, flips): lists indexed by flat view id.
 

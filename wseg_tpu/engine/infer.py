@@ -149,16 +149,20 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
     threshs = tuple(float(t) for t in threshs)
     crf_threshs = tuple(float(t) for t in crf_threshs)
 
-    def pp(sum_map, labels, window, img_u8, size_hw, n_views):
-        preds = _device_postprocess_jit(
+    def dispatch(sum_map, labels, window, img_u8, n_views):
+        """Launch the device program; returns the (K, H, W) uint8 device
+        array WITHOUT fetching (callers pipeline many images' programs
+        before paying the host<->device round trip)."""
+        return _device_postprocess_jit(
             sum_map, jnp.asarray(labels, jnp.float32),
             jnp.asarray(window, jnp.int32), jnp.asarray(img_u8),
             n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
             crf_threshs=crf_threshs, crf_iters=int(crf_iters))
-        preds = np.asarray(jax.device_get(preds))
+
+    def finalize(preds_np, window, size_hw):
         pt, pl, vh, vw = window
         assert (vh, vw) == tuple(size_hw), (window, size_hw)
-        cut = preds[:, pt:pt + vh, pl:pl + vw]
+        cut = preds_np[:, pt:pt + vh, pl:pl + vw]
         out = {}
         for k, t in enumerate(threshs):
             out[t] = {"pred": cut[k]}
@@ -166,6 +170,13 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             out.setdefault(t, {})["pred_crf"] = cut[len(threshs) + k]
         return out
 
+    def pp(sum_map, labels, window, img_u8, size_hw, n_views):
+        preds = np.asarray(jax.device_get(
+            dispatch(sum_map, labels, window, img_u8, n_views)))
+        return finalize(preds, window, size_hw)
+
+    pp.dispatch = dispatch
+    pp.finalize = finalize
     return pp
 
 

@@ -23,8 +23,12 @@ from PIL import Image
 
 import jax
 
-from wseg_tpu.data.multiscale import MultiscaleViews, merge_multiscale
-from wseg_tpu.engine.train_loop import make_infer_fn
+from wseg_tpu.data.multiscale import (
+    MultiscaleViews,
+    _round_up,
+    merge_multiscale,
+)
+from wseg_tpu.engine.train_loop import make_infer_fn, make_infer_view_fn
 
 
 class MultiScaleServer:
@@ -40,6 +44,22 @@ class MultiScaleServer:
             bool(getattr(test_cfg, "PAD_PER_SCALE", True)),
             int(getattr(test_cfg, "PAD_ALIGN", 128)),
             transfer="uint8" if self.uint8 else "float32")
+        # device-side view generation: upload ONE uint8 original per
+        # image; cubic resize / flip / pad run on device
+        # (ops/view_gen.py).  Needs scale 1.0 first (merge canvas) and a
+        # static original canvas sized so every scaled view fits the
+        # buckets; oversized images fall back to the host path.
+        self.device_views = (
+            self.uint8
+            and bool(getattr(test_cfg, "DEVICE_VIEWS", False))
+            and len(self.views.scales) > 0
+            and float(self.views.scales[0]) == 1.0)
+        if self.device_views:
+            self.infer_dv = make_infer_view_fn(model)
+            ph, pw = (int(p) for p in test_cfg.PAD_SIZE)
+            ms = max(float(s) for s in self.views.scales)
+            self.canvas_hw = (_round_up(int(ph / ms), 64),
+                              _round_up(int(pw / ms), 64))
         # optional device writer-math hook (engine.infer.
         # make_device_postprocess); futures then resolve to
         # (postprocess_result, labels) instead of (merged, labels)
@@ -64,6 +84,27 @@ class MultiScaleServer:
         predictable."""
         vpi = self.views.num_views // len(self.views.scales)
         cap = vpi * self.max_batch
+        if self.device_views:
+            import jax.numpy as jnp
+
+            from wseg_tpu.ops.view_gen import build_views_u8
+            ch, cw = self.canvas_hw
+            canv = jnp.zeros((self.max_batch, ch, cw, 3), jnp.uint8)
+            wins = jnp.zeros((self.max_batch, 4), jnp.int32)
+            seen = set()
+            for (w, h) in image_sizes:
+                for si, (ph, pw) in enumerate(self.views.view_shapes(w, h)):
+                    if (ph, pw) in seen:
+                        continue
+                    seen.add((ph, pw))
+                    cls, _ = self.infer_dv(self.variables, canv, wins,
+                                           wins, out_hw=(ph, pw),
+                                           flip_pair=self.views.flip)
+                    np.asarray(jax.device_get(cls))
+                    if si == 0 and self.postprocess is not None:
+                        build_views_u8(canv, wins, wins, out_hw=(ph, pw),
+                                       flip_pair=False)
+            return
         seen = set()
         dt = np.uint8 if self.uint8 else np.float32
         for (w, h) in image_sizes:
@@ -131,6 +172,12 @@ class MultiScaleServer:
                         fut.set_exception(e)
 
     def _process(self, group):
+        if self.device_views:
+            ch, cw = self.canvas_hw
+            if all(im.size[1] <= ch and im.size[0] <= cw
+                   for im, _, _ in group):
+                self._process_device(group)
+                return
         per_image = []  # (views, pads, flips, size_hw)
         for image, _, _ in group:
             w, h = image.size
@@ -182,6 +229,66 @@ class MultiScaleServer:
                                       size_hw, float(self.cfg.BG_POW))
             fut.set_result((merged, labels))
 
+    def _process_device(self, group):
+        """Device-view path: ONE uint8 original upload per image;
+        resize / flip / pad (ops/view_gen.py), forward, merge and writer
+        math all run on device.  ~num_views less host->device traffic
+        and no host PIL resizes — both bind e2e throughput on
+        remote-attached chips."""
+        import jax.numpy as jnp
+
+        from wseg_tpu.ops.view_gen import build_views_u8
+
+        cap = self.max_batch
+        n = len(group)
+        ch, cw = self.canvas_hw
+        canv = np.zeros((cap, ch, cw, 3), np.uint8)
+        owin = np.zeros((cap, 4), np.int32)
+        per_image = []
+        for gi, (image, _, _) in enumerate(group):
+            c, ow, pads, flips = self.views.build_device(
+                image, self.canvas_hw)
+            canv[gi] = c
+            owin[gi] = ow
+            w, h = image.size
+            per_image.append((None, pads, flips, (h, w)))
+        orig_dev = jnp.asarray(canv)
+        owin_dev = jnp.asarray(owin)
+
+        vpi = 2 if self.views.flip else 1
+        pending = []  # (idxs, (cls, masks)); masks rows follow idxs order
+        scale1_u8 = {}
+        for si in range(len(self.views.scales)):
+            shape_groups: Dict[Tuple[int, int], List[int]] = {}
+            for gi in range(n):
+                _, pads, _, (h, w) = per_image[gi]
+                shp = tuple(self.views.view_shapes(w, h)[si])
+                shape_groups.setdefault(shp, []).append(gi)
+            for shp, gis in shape_groups.items():
+                vwin = np.zeros((cap, 4), np.int32)
+                for gi in gis:
+                    vwin[gi] = per_image[gi][1][si * vpi]
+                vwin_dev = jnp.asarray(vwin)
+                cls, masks = self.infer_dv(
+                    self.variables, orig_dev, owin_dev, vwin_dev,
+                    out_hw=shp, flip_pair=self.views.flip)
+                for gi in gis:
+                    idxs = [(gi, si * vpi + f) for f in range(vpi)]
+                    sl = slice(gi * vpi, (gi + 1) * vpi)
+                    pending.append((idxs, (cls[sl], masks[sl])))
+                if si == 0 and self.postprocess is not None:
+                    # raw scale-1.0 pixels for the postprocess CRF, kept
+                    # on device
+                    u8 = build_views_u8(orig_dev, owin_dev, vwin_dev,
+                                        out_hw=shp, flip_pair=False)
+                    for gi in gis:
+                        scale1_u8[gi] = u8[gi]
+
+        per_image = [
+            ({0: scale1_u8.get(gi)}, pads, flips, size_hw)
+            for gi, (_, pads, flips, size_hw) in enumerate(per_image)]
+        self._finish_device_merge(group, per_image, pending)
+
     def _labels(self, cls_views, gt_labels):
         if bool(self.cfg.USE_GT_LABELS) and gt_labels is not None:
             return gt_labels.astype(np.float32)
@@ -193,7 +300,11 @@ class MultiScaleServer:
         """Merge every image's views on device and fetch only the merged
         maps (~1/num_views of the host-merge transfer volume).  Each
         image's per-bucket views are contiguous, image-major slices of the
-        bucket batch, so the merge runs on static-shaped device slices."""
+        bucket batch, so the merge runs on static-shaped device slices.
+
+        Ordering matters on high-RTT links: ALL device work (merges,
+        writer math) is dispatched before the first fetch, and the cls
+        logits are not fetched at all when GT labels are supplied."""
         import jax.numpy as jnp
 
         from wseg_tpu.engine.infer import (
@@ -202,17 +313,17 @@ class MultiScaleServer:
         )
 
         n = len(group)
-        cls_out = [[None] * len(pi[0]) for pi in per_image]
+        cls_dev = [[None] * len(pi[1]) for pi in per_image]
         sums = [None] * n
         merge_hw = []
         for image, _, _ in group:
             w, h = image.size
             merge_hw.append(tuple(self.views.view_shapes(w, h)[0]))
 
+        # phase 1: dispatch every merge; keep cls as device handles
         for idxs, (cls, masks) in pending:
-            cls_np = np.asarray(jax.device_get(cls), np.float32)
             for k, (gi, vi) in enumerate(idxs):
-                cls_out[gi][vi] = cls_np[k]
+                cls_dev[gi][vi] = cls[k]
             # contiguous per-image runs within the bucket
             k = 0
             while k < len(idxs):
@@ -230,17 +341,35 @@ class MultiScaleServer:
                 sums[gi] = m if sums[gi] is None else sums[gi] + m
                 k = k1
 
+        # phase 2: labels — predicted labels need the cls logits on
+        # host (one batched fetch); GT labels need nothing
+        use_gt = bool(self.cfg.USE_GT_LABELS)
+        if use_gt and all(g[1] is not None for g in group):
+            labels_all = [g[1].astype(np.float32) for g in group]
+        else:
+            cls_np = jax.device_get(cls_dev)
+            labels_all = [self._labels(cls_np[gi], group[gi][1])
+                          for gi in range(n)]
+
+        # phase 3: dispatch writer math for every image, then resolve
+        if self.postprocess is not None:
+            preds_dev = []
+            for gi in range(n):
+                views, pads, _, _ = per_image[gi]
+                preds_dev.append(self.postprocess.dispatch(
+                    sums[gi], labels_all[gi], pads[0], views[0],
+                    self.views.num_views))
+            preds_np = jax.device_get(preds_dev)
+            for gi, (image, gt_labels, fut) in enumerate(group):
+                _, pads, _, size_hw = per_image[gi]
+                res = self.postprocess.finalize(
+                    np.asarray(preds_np[gi]), pads[0], size_hw)
+                fut.set_result((res, labels_all[gi]))
+            return
+
         for gi, (image, gt_labels, fut) in enumerate(group):
-            views, pads, flips, size_hw = per_image[gi]
-            labels = self._labels(cls_out[gi], gt_labels)
-            if self.postprocess is not None:
-                # device writer-math: only uint8 label maps are fetched
-                res = self.postprocess(sums[gi], labels, pads[0],
-                                       views[0], size_hw,
-                                       self.views.num_views)
-                fut.set_result((res, labels))
-                continue
+            _, pads, _, size_hw = per_image[gi]
             merged = finalize_device_merge(
-                sums[gi], pads[0], size_hw, labels,
+                sums[gi], pads[0], size_hw, labels_all[gi],
                 self.views.num_views, float(self.cfg.BG_POW))
-            fut.set_result((merged, labels))
+            fut.set_result((merged, labels_all[gi]))
