@@ -172,3 +172,22 @@ def test_orbax_backend(tmp_path):
     ck2 = OrbaxCheckpoint(str(tmp_path / "orbax"), max_n=2)
     ck2.add_checkpoints()
     assert len(ck2.checkpoints) == 2
+
+
+def test_crf_jax_bfloat16_messages_close_to_f32():
+    """bfloat16 message passing (the serving default) must match f32
+    mean-field closely — softmax renormalises every iteration."""
+    import jax.numpy as jnp
+    from wseg_tpu.ops.crf import crf_inference_jax
+    rng = np.random.RandomState(3)
+    H = W = 32
+    img = (rng.rand(H, W, 3) * 255).astype(np.float32)
+    probs = rng.dirichlet(np.ones(5), size=(H, W)).astype(np.float32)
+    f32 = np.asarray(crf_inference_jax(img[None], probs[None], t=5,
+                                       sxy_bilateral=8.0))
+    b16 = np.asarray(crf_inference_jax(img[None], probs[None], t=5,
+                                       sxy_bilateral=8.0,
+                                       dtype=jnp.bfloat16))
+    assert np.abs(f32 - b16).mean() < 2e-3
+    agree = (np.argmax(f32, -1) == np.argmax(b16, -1)).mean()
+    assert agree > 0.99, agree

@@ -28,7 +28,7 @@ from wseg_tpu.data.multiscale import (
     _round_up,
     merge_multiscale,
 )
-from wseg_tpu.engine.train_loop import make_infer_fn, make_infer_view_fn
+from wseg_tpu.engine.train_loop import make_infer_fn
 
 
 class MultiScaleServer:
@@ -55,7 +55,8 @@ class MultiScaleServer:
             and len(self.views.scales) > 0
             and float(self.views.scales[0]) == 1.0)
         if self.device_views:
-            self.infer_dv = make_infer_view_fn(model)
+            from wseg_tpu.engine.infer import make_infer_merge_fn
+            self.infer_mv = make_infer_merge_fn(model)
             ph, pw = (int(p) for p in test_cfg.PAD_SIZE)
             ms = max(float(s) for s in self.views.scales)
             self.canvas_hw = (_round_up(int(ph / ms), 64),
@@ -72,6 +73,11 @@ class MultiScaleServer:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # single finisher thread: fetches + finalisation of group N
+        # overlap the device dispatches of group N+1 (FIFO, so result
+        # order is preserved)
+        from concurrent.futures import ThreadPoolExecutor
+        self._finisher = ThreadPoolExecutor(1)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -93,13 +99,16 @@ class MultiScaleServer:
             wins = jnp.zeros((self.max_batch, 4), jnp.int32)
             seen = set()
             for (w, h) in image_sizes:
-                for si, (ph, pw) in enumerate(self.views.view_shapes(w, h)):
-                    if (ph, pw) in seen:
+                shapes = self.views.view_shapes(w, h)
+                for si, (ph, pw) in enumerate(shapes):
+                    key = (ph, pw, tuple(shapes[0]))
+                    if key in seen:
                         continue
-                    seen.add((ph, pw))
-                    cls, _ = self.infer_dv(self.variables, canv, wins,
-                                           wins, out_hw=(ph, pw),
-                                           flip_pair=self.views.flip)
+                    seen.add(key)
+                    cls, _ = self.infer_mv(
+                        self.variables, canv, wins, wins, wins,
+                        out_hw=(ph, pw), flip_pair=self.views.flip,
+                        merge_hw=tuple(shapes[0]))
                     np.asarray(jax.device_get(cls))
                     if si == 0 and self.postprocess is not None:
                         build_views_u8(canv, wins, wins, out_hw=(ph, pw),
@@ -133,6 +142,7 @@ class MultiScaleServer:
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout=10)
+        self._finisher.shutdown(wait=True)
 
     # ---------------------------------------------------------- worker
     def _collect_group(self):
@@ -256,38 +266,72 @@ class MultiScaleServer:
         owin_dev = jnp.asarray(owin)
 
         vpi = 2 if self.views.flip else 1
-        pending = []  # (idxs, (cls, masks)); masks rows follow idxs order
+        # partition by the full view-shape signature: same signature =>
+        # same merge canvas and the same fused bucket programs
+        sig: Dict[tuple, List[int]] = {}
+        for gi in range(n):
+            _, _, _, (h, w) = per_image[gi]
+            sig.setdefault(tuple(self.views.view_shapes(w, h)),
+                           []).append(gi)
+
+        sums = [None] * n
+        cls_calls = []  # (cls (cap*vpi, C-1) device, gis, si)
         scale1_u8 = {}
-        for si in range(len(self.views.scales)):
-            shape_groups: Dict[Tuple[int, int], List[int]] = {}
-            for gi in range(n):
-                _, pads, _, (h, w) = per_image[gi]
-                shp = tuple(self.views.view_shapes(w, h)[si])
-                shape_groups.setdefault(shp, []).append(gi)
-            for shp, gis in shape_groups.items():
+        for shapes, gis in sig.items():
+            dstwin = np.zeros((cap, 4), np.int32)
+            for gi in gis:
+                dstwin[gi] = per_image[gi][1][0]
+            dst_dev = jnp.asarray(dstwin)
+            total = None
+            for si, shp in enumerate(shapes):
                 vwin = np.zeros((cap, 4), np.int32)
                 for gi in gis:
                     vwin[gi] = per_image[gi][1][si * vpi]
-                vwin_dev = jnp.asarray(vwin)
-                cls, masks = self.infer_dv(
-                    self.variables, orig_dev, owin_dev, vwin_dev,
-                    out_hw=shp, flip_pair=self.views.flip)
-                for gi in gis:
-                    idxs = [(gi, si * vpi + f) for f in range(vpi)]
-                    sl = slice(gi * vpi, (gi + 1) * vpi)
-                    pending.append((idxs, (cls[sl], masks[sl])))
+                vw_dev = jnp.asarray(vwin)
+                cls, part = self.infer_mv(
+                    self.variables, orig_dev, owin_dev, vw_dev, dst_dev,
+                    out_hw=tuple(shp), flip_pair=self.views.flip,
+                    merge_hw=tuple(shapes[0]))
+                total = part if total is None else total + part
+                cls_calls.append((cls, gis, si))
                 if si == 0 and self.postprocess is not None:
-                    # raw scale-1.0 pixels for the postprocess CRF, kept
-                    # on device
-                    u8 = build_views_u8(orig_dev, owin_dev, vwin_dev,
-                                        out_hw=shp, flip_pair=False)
+                    # raw scale-1.0 pixels for the postprocess CRF,
+                    # kept on device
+                    u8 = build_views_u8(orig_dev, owin_dev, vw_dev,
+                                        out_hw=tuple(shp),
+                                        flip_pair=False)
                     for gi in gis:
                         scale1_u8[gi] = u8[gi]
+            for gi in gis:
+                sums[gi] = total[gi]
 
         per_image = [
             ({0: scale1_u8.get(gi)}, pads, flips, size_hw)
             for gi, (_, pads, flips, size_hw) in enumerate(per_image)]
-        self._finish_device_merge(group, per_image, pending)
+
+        # everything device-side is dispatched; fetches + finalisation
+        # run on the finisher thread so the worker can start the next
+        # group's dispatches immediately
+        def finish():
+            use_gt = bool(self.cfg.USE_GT_LABELS)
+            if use_gt and all(g[1] is not None for g in group):
+                labels_all = [g[1].astype(np.float32) for g in group]
+            else:
+                cls_np = jax.device_get([c for c, _, _ in cls_calls])
+                per_view_cls = [[None] * len(per_image[gi][1])
+                                for gi in range(n)]
+                for (c_dev, gis, si), c_arr in zip(cls_calls, cls_np):
+                    for gi in gis:
+                        for f in range(vpi):
+                            per_view_cls[gi][si * vpi + f] = \
+                                np.asarray(c_arr[gi * vpi + f],
+                                           np.float32)
+                labels_all = [
+                    self._labels(per_view_cls[gi], group[gi][1])
+                    for gi in range(n)]
+            self._resolve(group, per_image, sums, labels_all)
+
+        self._submit_finish(group, finish)
 
     def _labels(self, cls_views, gt_labels):
         if bool(self.cfg.USE_GT_LABELS) and gt_labels is not None:
@@ -341,30 +385,66 @@ class MultiScaleServer:
                 sums[gi] = m if sums[gi] is None else sums[gi] + m
                 k = k1
 
-        # phase 2: labels — predicted labels need the cls logits on
-        # host (one batched fetch); GT labels need nothing
-        use_gt = bool(self.cfg.USE_GT_LABELS)
-        if use_gt and all(g[1] is not None for g in group):
-            labels_all = [g[1].astype(np.float32) for g in group]
-        else:
-            cls_np = jax.device_get(cls_dev)
-            labels_all = [self._labels(cls_np[gi], group[gi][1])
-                          for gi in range(n)]
+        # phase 2+3 (fetches + finalisation) overlap the next group's
+        # dispatches via the finisher thread
+        def finish():
+            use_gt = bool(self.cfg.USE_GT_LABELS)
+            if use_gt and all(g[1] is not None for g in group):
+                labels_all = [g[1].astype(np.float32) for g in group]
+            else:
+                cls_np = jax.device_get(cls_dev)
+                labels_all = [self._labels(cls_np[gi], group[gi][1])
+                              for gi in range(n)]
+            self._resolve(group, per_image, sums, labels_all)
 
-        # phase 3: dispatch writer math for every image, then resolve
+        self._submit_finish(group, finish)
+
+    def _submit_finish(self, group, finish):
+        """Run ``finish`` on the finisher thread; a failure there must
+        still resolve the group's futures."""
+        def guarded():
+            try:
+                finish()
+            except Exception as e:  # pragma: no cover
+                for _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+        self._finisher.submit(guarded)
+
+    def _resolve(self, group, per_image, sums, labels_all):
+        """Writer math + future resolution for device-merged sums.
+
+        Images sharing the merge-canvas shape are slot-batched (padded
+        to max_batch for a static program): one postprocess dispatch +
+        one fetch per subgroup instead of per image."""
+        import jax.numpy as jnp
+
+        from wseg_tpu.engine.infer import finalize_device_merge
+
+        n = len(group)
         if self.postprocess is not None:
-            preds_dev = []
+            subgroups: Dict[Tuple[int, ...], List[int]] = {}
             for gi in range(n):
-                views, pads, _, _ = per_image[gi]
-                preds_dev.append(self.postprocess.dispatch(
-                    sums[gi], labels_all[gi], pads[0], views[0],
-                    self.views.num_views))
-            preds_np = jax.device_get(preds_dev)
-            for gi, (image, gt_labels, fut) in enumerate(group):
-                _, pads, _, size_hw = per_image[gi]
-                res = self.postprocess.finalize(
-                    np.asarray(preds_np[gi]), pads[0], size_hw)
-                fut.set_result((res, labels_all[gi]))
+                subgroups.setdefault(tuple(sums[gi].shape), []).append(gi)
+            pending_pp = []
+            for shp, gis in subgroups.items():
+                pad_n = self.max_batch - len(gis)
+                rows = gis + [gis[0]] * pad_n
+                sm = jnp.stack([sums[gi] for gi in rows])
+                lb = np.stack([labels_all[gi] for gi in rows])
+                wn = np.stack([per_image[gi][1][0] for gi in rows])
+                im = jnp.stack([per_image[gi][0][0] for gi in rows])
+                dev = self.postprocess.dispatch_group(
+                    sm, lb, wn, im, self.views.num_views)
+                # don't pay fetch bytes for the padding rows
+                pending_pp.append((gis, dev[:len(gis)]))
+            for gis, dev in pending_pp:
+                preds = np.asarray(jax.device_get(dev))
+                for k, gi in enumerate(gis):
+                    _, pads, _, size_hw = per_image[gi]
+                    res = self.postprocess.finalize(
+                        preds[k], pads[0], size_hw)
+                    group[gi][2].set_result((res, labels_all[gi]))
             return
 
         for gi, (image, gt_labels, fut) in enumerate(group):

@@ -139,16 +139,25 @@ def crf_inference_jax(img, probs, t: int = 10,
                       sxy_gaussian: float = 3.0,
                       compat_gaussian: float = 3.0,
                       sxy_bilateral: float = 80.0, srgb: float = 13.0,
-                      compat_bilateral: float = 10.0, valid_mask=None):
+                      compat_bilateral: float = 10.0, valid_mask=None,
+                      dtype=None):
     """Batched on-device mean-field CRF over NHWC probs.
 
     Same algorithm as :func:`crf_inference_np`, expressed with XLA ops
     (separable Gaussian as depthwise convs, bilateral as a static tap
     loop).  ``valid_mask`` (B, H, W, 1) zeroes messages from padded pixels
     so padded static shapes don't bleed into the interior.
+
+    ``dtype`` sets the message-passing precision (the ~80-tap bilateral
+    loop is HBM-bound; bfloat16 halves its traffic).  Unary and softmax
+    stay float32 — mean-field renormalises every iteration, so message
+    rounding does not accumulate.  Default float32.
     """
     import jax
     import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
 
     B, H, W, C = probs.shape
     img_f = img.astype(jnp.float32)
@@ -187,25 +196,29 @@ def crf_inference_jax(img, probs, t: int = 10,
         diff = img_f - shift(img_f, -dy, -dx)
         cw = jnp.exp(-jnp.sum(diff * diff, -1, keepdims=True)
                      / (2.0 * srgb * srgb))
-        colour_w.append(cw)
+        colour_w.append((cw * valid_mask).astype(dtype))
 
     def bilateral_filter(x):
-        x = x * valid_mask
-        acc = jnp.zeros_like(x)
+        # x arrives pre-masked and in ``dtype``; per-tap colour weights
+        # already carry the valid mask
+        acc = jnp.zeros(x.shape, jnp.float32)
         for k, (dy, dx) in enumerate(taps):
-            acc = acc + tap_sp[k] * colour_w[k] * shift(x, -dy, -dx)
+            acc = acc + tap_sp[k] * (
+                colour_w[k] * shift(x, -dy, -dx)).astype(jnp.float32)
         return acc
 
     ones = valid_mask
     norm_g = jax.lax.rsqrt(jnp.maximum(gauss_filter(ones), 1e-20))
-    norm_b = jax.lax.rsqrt(jnp.maximum(bilateral_filter(ones), 1e-20))
+    norm_b = jax.lax.rsqrt(jnp.maximum(
+        bilateral_filter(ones.astype(dtype)), 1e-20))
 
     unary = -jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-8))
     self_g = norm_g * norm_g  # centre-tap self contribution (see numpy ver)
 
     def body(Q, _):
         qg = gauss_filter(Q * norm_g) * norm_g - self_g * Q
-        qb = bilateral_filter(Q * norm_b) * norm_b
+        qb = bilateral_filter(
+            (Q * norm_b * valid_mask).astype(dtype)) * norm_b
         msg = compat_gaussian * qg + compat_bilateral * qb
         Q = jax.nn.softmax(-unary + msg, axis=-1)
         return Q, None
