@@ -224,40 +224,3 @@ def make_infer_fn(model: StageNet, device_norm: bool = False):
         out = model.apply(variables, x, train=False)
         return out.cls, out.masks
     return infer_u8
-
-
-def make_infer_view_fn(model: StageNet):
-    """Fused device view generation + test-mode forward for one scale
-    bucket: fn(variables, orig_u8 (B, Hc, Wc, 3), owin (B, 4),
-    vwin (B, 4), out_hw=(ph, pw), flip_pair=bool) -> (cls, masks) over
-    the image-major view rows ([img0, img0-flipped, img1, ...]).
-
-    The original is uploaded once per image; the cubic resize / flip /
-    pad of every scale view runs on device (ops/view_gen.py), cutting
-    host->device bytes by ~num_views on link-bound serving setups.
-    """
-    from wseg_tpu.data.pascal_voc import MEAN, STD
-    from wseg_tpu.ops.view_gen import build_views_u8
-    mean = jnp.asarray(MEAN, jnp.float32)
-    std = jnp.asarray(STD, jnp.float32)
-
-    @functools.partial(jax.jit, static_argnames=("out_hw", "flip_pair"))
-    def infer_dv(variables, orig_u8, owin, vwin, *, out_hw, flip_pair):
-        views_u8 = build_views_u8(orig_u8, owin, vwin, out_hw=out_hw,
-                                  flip_pair=flip_pair)
-        x = (views_u8.astype(jnp.float32) / 255.0 - mean) / std
-        h, w = out_hw
-        win = vwin.astype(jnp.int32)
-        if flip_pair:
-            win = jnp.repeat(win, 2, axis=0)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
-        pt = win[:, 0][:, None, None, None]
-        pl = win[:, 1][:, None, None, None]
-        vh = win[:, 2][:, None, None, None]
-        vw = win[:, 3][:, None, None, None]
-        inside = (ri >= pt) & (ri < pt + vh) & (ci >= pl) & (ci < pl + vw)
-        x = jnp.where(inside, x, 0.0)
-        out = model.apply(variables, x, train=False)
-        return out.cls, out.masks
-    return infer_dv
