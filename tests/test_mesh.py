@@ -68,3 +68,49 @@ def test_cpu_mesh_single_slice_path():
     mesh = make_mesh(n_data=4, n_space=2, devices=jax.devices()[:8])
     assert mesh.shape == {"data": 4, "space": 2}
     assert list(np.asarray(mesh.devices).reshape(-1)) == jax.devices()[:8]
+
+
+def test_2d_mesh_train_step_data_x_space():
+    """The FULL train step must compile and run with the batch sharded
+    over 'data' AND H sharded over 'space' (conv halo exchanges in both
+    the forward and backward pass) — the spatial-parallel escape hatch
+    for inputs too large for one chip's HBM."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wseg_tpu.config import cfg
+    from wseg_tpu.engine import create_train_state, make_train_step
+    from wseg_tpu.engine.train_loop import init_variables
+    from wseg_tpu.models import get_model
+    from wseg_tpu.parallel import make_optimizer, replicate
+
+    cfg.NET.MODEL = "bsl"
+    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.DTYPE = "float32"
+    cfg.NET.PAMR_KERNEL = [1, 2]
+    cfg.NET.PAMR_ITER = 2
+    model = get_model(cfg.NET, num_classes=21)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).rand(4, 64, 32, 3), np.float32),
+        "labels": jnp.ones((4, 20), np.float32),
+    }
+    variables = init_variables(model, rng, batch)
+    tx, _ = make_optimizer(cfg.NET, "vgg16", variables["params"])
+    state = create_train_state(model, tx, rng, batch, variables=variables)
+    step = make_train_step(model, tx)
+
+    mesh = make_mesh(n_data=4, n_space=2, devices=jax.devices()[:8])
+    with mesh:
+        state = replicate(mesh, state)
+        db = {
+            "image": jax.device_put(
+                batch["image"], NamedSharding(mesh, P("data", "space"))),
+            "labels": jax.device_put(
+                batch["labels"], NamedSharding(mesh, P("data"))),
+        }
+        state, metrics = step(state, db, rng, jnp.asarray(1.0))
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
