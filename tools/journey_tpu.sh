@@ -45,11 +45,14 @@ python -u infer_val.py --dataset pascal_voc --cfg configs/voc_resnet38.yaml \
           TEST.USE_GT_LABELS True
 
 echo "=== eval_seg.py ==="
+# infer_val appends "_<thresh>" to --mask-output-dir (reference writer
+# matrix); score the thresh-0 writer's outputs
+fail=0
 for sub in no_crf crf; do
-  d=$(find "$WORK/masks" -type d -name "$sub" | head -1)
-  [ -z "$d" ] && continue
+  d="$WORK/masks_0/$sub"
+  if [ ! -d "$d" ]; then echo "missing $d"; fail=1; continue; fi
   echo "--- $sub ($d) ---"
   python -u eval_seg.py --data "$DATA" --filelist "$DATA/val_voc.txt" \
-      --masks "$d"
+      --masks "$d" || fail=1
 done
-echo "JOURNEY OK"
+[ "$fail" = 0 ] && echo "JOURNEY OK" || { echo "JOURNEY FAILED"; exit 1; }
