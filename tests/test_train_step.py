@@ -155,3 +155,59 @@ def test_pretrain_gating_changes_loss():
                                float(m_on["loss_cls"]), rtol=1e-5)
     assert abs(float(m_on["loss"]) - float(m_off["loss"])
                - float(m_on["loss_mask"])) < 1e-5
+
+
+def test_scratch_init_stabilisation_keeps_training_finite():
+    """From-scratch flagship training NaN'd within a few steps (frozen
+    identity BN + random WRN38 -> |logits| ~4e2, grad l2 ~5e4);
+    stabilize_scratch_init (SkipInit) must keep losses finite at the
+    reference LR, and leave pretrained-style params untouched for other
+    backbones."""
+    from wseg_tpu.models.backbones.common import stabilize_scratch_init
+
+    model, batch = _setup(model_name="CAM_CASA_WGAP_tf",
+                          backbone="resnet38", hw=64)
+    rng = jax.random.PRNGKey(0)
+    from wseg_tpu.engine.train_loop import init_variables
+    variables = init_variables(model, rng, batch)
+    params = stabilize_scratch_init(variables["params"], "resnet38")
+    # residual-branch-final kernels are zero, everything else untouched
+    flat = flax.traverse_util.flatten_dict(params)
+    zeroed = [k for k, v in flat.items()
+              if k[-1] == "kernel" and float(jnp.abs(v).max()) == 0.0]
+    assert any("conv_branch2b1" in k for k in zeroed)
+    assert any("conv_branch2b2" in k for k in zeroed)
+    # bot blocks keep their 2b1 (only the true last conv is zeroed)
+    assert any(k[-2] == "conv_branch2b1" and float(jnp.abs(v).max()) > 0
+               for k, v in flat.items() if k[-1] == "kernel")
+
+    variables = dict(variables)
+    variables["params"] = params
+    tx, _ = make_optimizer(cfg.NET, "resnet38", params)
+    state = create_train_state(model, tx, rng, batch,
+                               variables=variables)
+    step = make_train_step(model, tx)
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                              jnp.asarray(0.0))
+        assert np.isfinite(float(metrics["loss"])), (i, metrics)
+    assert float(metrics["loss_cls"]) < 20.0
+
+
+def test_grad_clip_knob():
+    """NET.GRAD_CLIP chains a global-norm clip in front of the
+    4-group optimizer (off by default)."""
+    model, batch = _setup(backbone="vgg16", hw=48)
+    rng = jax.random.PRNGKey(0)
+    from wseg_tpu.engine.train_loop import init_variables
+    variables = init_variables(model, rng, batch)
+    cfg.NET.GRAD_CLIP = 1.0
+    try:
+        tx, _ = make_optimizer(cfg.NET, "vgg16", variables["params"])
+        state = create_train_state(model, tx, rng, batch,
+                                   variables=variables)
+        step = make_train_step(model, tx)
+        state, metrics = step(state, batch, rng, jnp.asarray(0.0))
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        cfg.NET.GRAD_CLIP = 0.0

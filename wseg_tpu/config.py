@@ -141,6 +141,9 @@ def _default_cfg() -> AttrDict:
     c.NET.PRE_WEIGHTS_PATH = ""
     c.NET.OPT = "SGD"
     c.NET.LR = 0.001
+    # TPU extension: optax global grad-norm clip; 0 = off (reference has
+    # no clipping — leave off for update-for-update parity)
+    c.NET.GRAD_CLIP = 0.0
     c.NET.BETA1 = 0.5
     c.NET.MOMENTUM = 0.9
     c.NET.WEIGHT_DECAY = 1e-5

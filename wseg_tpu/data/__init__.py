@@ -49,7 +49,14 @@ def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
     if batch_size is None:
         batch_size = cfg.TRAIN.BATCH_SIZE
     workers = int(getattr(args, "workers", 4) or 0)
-    choice = os.environ.get("WSEG_LOADER", "grain")
+    ncpu = os.cpu_count() or 1
+    # more worker processes than cores just thrashes the scheduler and
+    # multiplies IPC; and on a 1-2 core host the in-process threaded
+    # loader beats process workers outright (no spawn, no pickling —
+    # PIL/numpy release the GIL for the heavy parts)
+    workers = min(workers, ncpu)
+    choice = os.environ.get("WSEG_LOADER",
+                            "grain" if ncpu >= 3 else "threads")
     if shuffle and workers > 0 and choice == "grain":
         from wseg_tpu.data.grain_loader import make_train_loader
         return make_train_loader(

@@ -14,19 +14,6 @@ from typing import Optional
 import numpy as np
 
 
-class _BatchToDict:
-    """Grain batch -> the framework's dict batch contract."""
-
-    def __call__(self, samples):
-        images, labels, names, masks = zip(*samples)
-        return {
-            "image": np.stack(images).astype(np.float32),
-            "labels": np.stack(labels).astype(np.float32),
-            "name": list(names),
-            "mask": np.stack(masks),
-        }
-
-
 class GrainLoader:
     """Epoch-iterable matching wseg_tpu.data.loader.DataLoader's surface."""
 
@@ -53,7 +40,11 @@ class GrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _make_iterator(self):
+        """One PERSISTENT infinite iterator: the worker-process pool is
+        spawned once and reused across epochs (a fresh pool per epoch
+        costs seconds of process spawn + module import per epoch;
+        IndexSampler with num_epochs=None reshuffles every pass)."""
         pygrain = self._pygrain
         sampler = pygrain.IndexSampler(
             num_records=len(self.dataset),
@@ -62,10 +53,9 @@ class GrainLoader:
                 shard_count=self.shard_count,
                 drop_remainder=self.drop_last),
             shuffle=self.shuffle,
-            seed=self.seed + self.epoch,
-            num_epochs=1,
+            seed=self.seed,
+            num_epochs=None,
         )
-        self.epoch += 1
 
         class _Source:
             def __init__(self, ds):
@@ -87,8 +77,14 @@ class GrainLoader:
             operations=operations,
             worker_count=self.num_workers,
         )
-        to_dict = _BatchToDict()
-        for batch in loader:
+        return iter(loader)
+
+    def __iter__(self):
+        if getattr(self, "_it", None) is None:
+            self._it = self._make_iterator()
+        self.epoch += 1
+        for _ in range(len(self)):
+            batch = next(self._it)
             # pygrain.Batch stacks leaves when they are arrays; our
             # dataset returns tuples, so batches arrive as tuples of
             # stacked components
@@ -96,8 +92,11 @@ class GrainLoader:
                 yield batch
             else:
                 images, labels, names, masks = batch
+                images = np.asarray(images)
+                if images.dtype != np.uint8:
+                    images = images.astype(np.float32)
                 yield {
-                    "image": np.asarray(images, np.float32),
+                    "image": images,
                     "labels": np.asarray(labels, np.float32),
                     "name": list(names),
                     "mask": np.asarray(masks),

@@ -49,47 +49,52 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator[dict]:
+        """Bounded prefetch: workers claim batch indices IN ORDER and
+        may only run ``prefetch`` batches ahead of the consumer (a
+        permit per in-flight batch — without backpressure a fast worker
+        pool decodes the whole epoch into memory).  Completion is
+        signalled on a condition variable; no polling."""
         batches = self._index_batches()
         self.epoch += 1
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        in_q: "queue.Queue" = queue.Queue()
-        for i, b in enumerate(batches):
-            in_q.put((i, b))
         results = {}
-        lock = threading.Lock()
+        cond = threading.Condition()
+        permits = threading.Semaphore(max(1, self.prefetch))
+        claim = iter(enumerate(batches))
+        claim_lock = threading.Lock()
 
         def worker():
             while True:
-                try:
-                    i, idx = in_q.get_nowait()
-                except queue.Empty:
-                    return
+                permits.acquire()
+                with claim_lock:
+                    try:
+                        i, idx = next(claim)
+                    except StopIteration:
+                        permits.release()
+                        return
                 samples = [self.dataset[int(k)] for k in idx]
                 batch = self._collate(samples)
-                with lock:
+                with cond:
                     results[i] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        next_i = 0
-        total = len(batches)
-        import time
-        while next_i < total:
-            with lock:
-                ready = next_i in results
-            if ready:
-                with lock:
-                    yield results.pop(next_i)
-                next_i += 1
-            else:
-                time.sleep(0.002)
+        for next_i in range(len(batches)):
+            with cond:
+                while next_i not in results:
+                    cond.wait()
+                batch = results.pop(next_i)
+            permits.release()
+            yield batch
 
     @staticmethod
     def _collate(samples):
-        images = np.stack([s[0] for s in samples]).astype(np.float32)
+        images = np.stack([s[0] for s in samples])
+        if images.dtype != np.uint8:  # device-normalised path ships u8
+            images = images.astype(np.float32)
         labels = np.stack([s[1] for s in samples]).astype(np.float32)
         names = [s[2] for s in samples]
         masks = np.stack([s[3] for s in samples])

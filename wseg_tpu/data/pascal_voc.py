@@ -102,13 +102,15 @@ def read_filelist(path: str, root: str = "") -> List[Tuple[str, str]]:
 class VOCSegmentation:
     """Training/validation dataset with joint augmentation.
 
-    __getitem__ -> (image f32 HWC in [0,1]-normalised ImageNet space,
+    __getitem__ -> (image HWC — uint8 with ``transfer="uint8"`` (the
+    default; train/eval steps normalise on device, 4x less upload) or
+    float32 ImageNet-normalised with ``transfer="float32"`` —
     labels (C-1,), name, mask HW int32).
     """
 
     def __init__(self, data_cfg, split: str, root: str = "",
                  augment: bool = True, seed: int = 0,
-                 scoremap_path: str = ""):
+                 scoremap_path: str = "", transfer: str = "uint8"):
         self.cfg = data_cfg
         self.root = root or data_cfg.ROOT
         self.split = split
@@ -120,18 +122,20 @@ class VOCSegmentation:
         # datasets/pascal_voc.py:132-150,175-179)
         self.scoremap_path = scoremap_path
         crop = int(data_cfg.CROP_SIZE)
+        tail = tf.MaskToUint8() if transfer == "uint8" \
+            else tf.MaskNormalise(MEAN, STD)
         if augment:
             self.transform = tf.Compose([
                 tf.MaskRandResizedCrop(crop, float(data_cfg.SCALE_FROM),
                                        float(data_cfg.SCALE_TO)),
                 tf.MaskHFlip(),
                 tf.MaskColourJitter(p=1.0),
-                tf.MaskNormalise(MEAN, STD),
+                tail,
             ])
         else:
             self.transform = tf.Compose([
                 tf.MaskCenterCrop(crop),
-                tf.MaskNormalise(MEAN, STD),
+                tail,
             ])
         self.rng = np.random.RandomState(seed)
 

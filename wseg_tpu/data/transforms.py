@@ -200,3 +200,16 @@ class MaskNormalise:
         if score is not None:
             score = np.asarray(score, np.float32)
         return arr, mask, score
+
+
+class MaskToUint8:
+    """PIL -> uint8 HWC, UNnormalised: the train/eval steps normalise on
+    device (4x less host->device upload than shipping normalised f32 —
+    the link is the train-loop bottleneck on remote-attached chips;
+    bit-exact because the augmented PIL image IS uint8)."""
+
+    def __call__(self, image, mask, rng, score=None):
+        arr = np.asarray(image, np.uint8)
+        if score is not None:
+            score = np.asarray(score, np.float32)
+        return arr, mask, score

@@ -19,7 +19,6 @@ from wseg_tpu.losses import (
     get_criterion,
     self_supervision_loss,
 )
-from wseg_tpu.models.backbones.common import denormalize_image
 from wseg_tpu.ops.resize import resize_bilinear
 
 
@@ -34,9 +33,9 @@ def make_seam_train_step(model, tx, loss_name: str = "SoftMargin",
     def step_fn(state: TrainState, batch, rng, mask_loss_on, er_on):
         rng = jax.random.fold_in(rng, state.step)
         r1, r2, sg1, sg2 = jax.random.split(rng, 4)
-        image = batch["image"]
+        from wseg_tpu.engine.train_loop import _normalise_batch_image
+        image, image_raw = _normalise_batch_image(batch["image"])
         labels = batch["labels"]
-        image_raw = denormalize_image(image)
         h2 = int(image.shape[1] * scale_factor)
         w2 = int(image.shape[2] * scale_factor)
         image2 = resize_bilinear(image, (h2, w2), align_corners=True)

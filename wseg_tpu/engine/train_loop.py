@@ -28,8 +28,28 @@ from wseg_tpu.losses import (
     get_criterion,
     self_supervision_loss,
 )
-from wseg_tpu.models.backbones.common import denormalize_image
+from wseg_tpu.models.backbones.common import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    denormalize_image,
+)
 from wseg_tpu.models.stage_net import StageNet
+
+
+def _normalise_batch_image(image):
+    """(normalised, raw [0,1]) from either transfer dtype.
+
+    uint8 batches (the loader default) normalise ON DEVICE — shipping
+    u8 quarters the host->device upload, which dominates the step time
+    on remote-attached chips; f32 batches arrive pre-normalised (the
+    reference contract) and are denormalised for the PAMR raw stream.
+    """
+    if image.dtype == jnp.uint8:
+        raw = image.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        return (raw - mean) / std, raw
+    return image, denormalize_image(image)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -44,8 +64,8 @@ def init_variables(model: StageNet, rng, sample_batch):
     which is pathological on remote-relay TPU backends."""
     def init_fn(r, image, labels):
         rngs = {"params": r, "dropout": r, "sg": r}
-        return model.init(rngs, image, denormalize_image(image), labels,
-                          train=True)
+        img, raw = _normalise_batch_image(image)
+        return model.init(rngs, img, raw, labels, train=True)
     return jax.jit(init_fn)(rng, sample_batch["image"],
                             sample_batch["labels"])
 
@@ -84,8 +104,7 @@ def make_train_step(model: StageNet, tx, loss_name: str = "SoftMargin",
     def step_fn(state: TrainState, batch, rng, mask_loss_on):
         rng = jax.random.fold_in(rng, state.step)
         drop_rng, sg_rng = jax.random.split(rng)
-        image = batch["image"]
-        image_raw = denormalize_image(image)
+        image, image_raw = _normalise_batch_image(batch["image"])
         labels = batch["labels"]
 
         def loss_fn(params):
@@ -140,8 +159,7 @@ def make_eval_step(model: StageNet, loss_name: str = "SoftMargin",
     criterion = get_criterion(loss_name)
 
     def step_fn(state: TrainState, batch):
-        image = batch["image"]
-        image_raw = denormalize_image(image)
+        image, image_raw = _normalise_batch_image(batch["image"])
         labels = batch["labels"]
         variables = {"params": state.params}
         if state.batch_stats:
@@ -177,7 +195,8 @@ def make_vis_step(model: StageNet):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        out = model.apply(variables, image, denormalize_image(image),
+        img, raw = _normalise_batch_image(image)
+        out = model.apply(variables, img, raw,
                           batch["labels"], train=False)
         vis = {"cam": out.masks}
         if out.masks_dec is not None:

@@ -63,6 +63,17 @@ class DecTrainer:
             from wseg_tpu.utils.torch_convert import load_pretrained_backbone
             self.state = self.state.replace(params=load_pretrained_backbone(
                 self.state.params, pre, cfg.NET.BACKBONE))
+        else:
+            # from-scratch fallback (outside the reference recipe, which
+            # always starts from ImageNet weights): SkipInit the residual
+            # branches so frozen-identity BN doesn't blow up activations
+            from wseg_tpu.models.backbones.common import \
+                stabilize_scratch_init
+            print("WARNING: no pretrained weights at %r; applying "
+                  "scratch-init stabilisation (zero residual-branch "
+                  "output convs)" % pre)
+            self.state = self.state.replace(params=stabilize_scratch_init(
+                self.state.params, str(cfg.NET.BACKBONE)))
 
         attn_w = 20.0 if getattr(args, "isattention", False) else 0.0
         self.train_step = make_train_step(
@@ -182,21 +193,43 @@ class DecTrainer:
             nonlocal last
             if not pending:
                 return
-            for m in jax.device_get(pending):
-                for k, v in m.items():
-                    stat.update_stats(k, float(v))
-                last = m
+            # ONE stacked transfer: device_get on the raw list issues a
+            # fetch per scalar leaf (~50 round trips per flush on a
+            # relay-attached chip)
+            keys = sorted(pending[0])
+            flat = jnp.stack([m[k] for m in pending for k in keys])
+            vals = np.asarray(jax.device_get(flat), np.float32)
+            for j in range(len(pending)):
+                row = {k: float(vals[j * len(keys) + i])
+                       for i, k in enumerate(keys)}
+                for k, v in row.items():
+                    stat.update_stats(k, v)
+                last = row
             pending.clear()
 
         profile_dir = getattr(self.args, "profile_dir", "")
+        dbg = bool(os.environ.get("WSEG_DEBUG_STEPTIME"))
+        import time as _time
+        t_last = _time.perf_counter()
         for i, batch in enumerate(self.trainloader):
+            if dbg:
+                t0 = _time.perf_counter()
+                print(f"[steptime] {i} load {t0 - t_last:.3f}",
+                      flush=True)
             if profile_dir and epoch == self.start_epoch and i == 10:
                 jax.profiler.start_trace(profile_dir)
             self._maybe_capture_fixed_batch(batch)
             db = self._device_batch(batch)
+            if dbg:
+                t1 = _time.perf_counter()
+                print(f"[steptime] {i} put {t1 - t0:.3f}", flush=True)
             self.state, metrics = self.train_step(self.state, db,
                                                   self.rng, mask_on)
             pending.append(metrics)
+            if dbg:
+                t_last = _time.perf_counter()
+                print(f"[steptime] {i} dispatch {t_last - t1:.3f}",
+                      flush=True)
             if profile_dir and epoch == self.start_epoch and i == 20:
                 jax.profiler.stop_trace()
                 print("Profiler trace written to", profile_dir)

@@ -113,4 +113,13 @@ def make_optimizer(net_cfg: Any, backbone: str, params) -> tuple:
         raise NotImplementedError(f"Optimizer '{opt_name}'")
 
     labels = label_params(params, backbone)
-    return optax.multi_transform(groups, labels), labels
+    tx = optax.multi_transform(groups, labels)
+
+    # TPU-native extension (reference has no clipping): optional global
+    # grad-norm clip, default OFF so converted-checkpoint training
+    # matches the reference update-for-update.  Useful for from-scratch
+    # runs, where frozen-identity BN makes early gradients explode.
+    clip = float(getattr(net_cfg, "GRAD_CLIP", 0.0) or 0.0)
+    if clip > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx, labels
