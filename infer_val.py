@@ -128,6 +128,12 @@ def main(argv):
         server = MultiScaleServer(model, variables, cfg.TEST,
                                   max_batch=int(cfg.TEST.BATCH_SIZE),
                                   postprocess=pp)
+        # compile the bucket programs on THIS thread before the worker
+        # touches them (XLA compiles inside the worker thread have been
+        # observed to abort on some backends), sized from the first image
+        if entries:
+            with Image.open(entries[0][0]) as im0:
+                server.warmup([im0.size])
 
         def write_result(res, img_path, image01, gt_mask):
             for k, idx in enumerate(TEST_ID):

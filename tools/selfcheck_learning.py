@@ -2,7 +2,7 @@
 """Learning self-check / training-loop diagnostic on synthetic data.
 
 Builds a colour-coded synthetic VOC (each class = a fixed palette colour),
-trains BaselineCAM+vgg16, runs single-scale inference, and reports the
+trains BaselineCAM (default resnet50, SkipInit from-scratch), runs single-scale inference, and reports the
 classification F1 and present-class mIoU before vs after training.
 
 Caveat measured in this environment: FROM-SCRATCH runs converge to the
@@ -39,6 +39,8 @@ def main(argv):
     p.add_argument("--opt", type=str, default="Adam")
     p.add_argument("--platform", type=str, default="")
     p.add_argument("--pre-weights", type=str, default="")
+    p.add_argument("--model", type=str, default="bsl")
+    p.add_argument("--backbone", type=str, default="resnet50")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -70,8 +72,8 @@ def main(argv):
     reset_cfg()
     cfg.DATASET.ROOT = root
     cfg.DATASET.CROP_SIZE = 64
-    cfg.NET.MODEL = "bsl"
-    cfg.NET.BACKBONE = "vgg16"
+    cfg.NET.MODEL = args.model
+    cfg.NET.BACKBONE = args.backbone
     cfg.NET.DTYPE = "float32"
     cfg.NET.LR = args.lr
     cfg.NET.OPT = args.opt
@@ -93,8 +95,15 @@ def main(argv):
     if args.pre_weights:
         from wseg_tpu.utils.torch_convert import load_pretrained_backbone
         variables = dict(variables, params=load_pretrained_backbone(
-            variables["params"], args.pre_weights, "vgg16"))
-    tx, _ = make_optimizer(cfg.NET, "vgg16", variables["params"])
+            variables["params"], args.pre_weights, args.backbone))
+    else:
+        # from-scratch: SkipInit the residual branches (see
+        # stabilize_scratch_init) so frozen-identity BN doesn't explode
+        from wseg_tpu.models.backbones.common import \
+            stabilize_scratch_init
+        variables = dict(variables, params=stabilize_scratch_init(
+            variables["params"], args.backbone))
+    tx, _ = make_optimizer(cfg.NET, args.backbone, variables["params"])
     state = create_train_state(model, tx, rng, batch0,
                                variables=variables)
     step = make_train_step(model, tx)
