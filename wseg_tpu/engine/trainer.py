@@ -178,6 +178,7 @@ class DecTrainer:
     def train_epoch(self, epoch: int):
         stat = StatManager()
         timer = Timer("New Epoch: ")
+        self._last_log_t = 0.0
         pretrain = epoch < int(cfg.TRAIN.PRETRAIN)
         mask_on = jnp.asarray(0.0 if pretrain else 1.0)
 
@@ -240,9 +241,20 @@ class DecTrainer:
                 msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)
                 for k in sorted(last):
                     msg += "{}: {:.4f} | ".format(k, float(last[k]))
-                ips = (i + 1) * int(cfg.TRAIN.BATCH_SIZE) / \
-                    timer.get_stage_elapsed()
-                print(msg + " | Im/Sec: {:.1f}".format(ips), flush=True)
+                # cumulative rate = the reference's Im/Sec print
+                # (reference train.py:206); the windowed rate excludes
+                # the first-step compile / program-cache load, which
+                # otherwise dominates the cumulative number for minutes
+                now = timer.get_stage_elapsed()
+                ips = (i + 1) * int(cfg.TRAIN.BATCH_SIZE) / now
+                win = ""
+                if i > 0:
+                    w = 10 * int(cfg.TRAIN.BATCH_SIZE) / \
+                        max(now - self._last_log_t, 1e-6)
+                    win = " (last10: {:.1f})".format(w)
+                self._last_log_t = now
+                print(msg + " | Im/Sec: {:.1f}".format(ips) + win,
+                      flush=True)
 
         _flush()
         for k in stat.vals:
