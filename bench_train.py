@@ -35,7 +35,9 @@ def main():
 
     model = get_model(cfg.NET, num_classes=21)
     rng = jax.random.PRNGKey(0)
-    bs, crop = 8, 384
+    import os
+    bs = int(os.environ.get("WSEG_BENCH_BS", "8"))
+    crop = int(os.environ.get("WSEG_BENCH_CROP", "384"))
     host = np.random.RandomState(0)
     batch = {
         "image": jnp.asarray(host.rand(bs, crop, crop, 3), jnp.float32),
