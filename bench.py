@@ -154,8 +154,11 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     gt[[3, 8]] = 1.0
 
     threshs = (0.0, 0.1)
-    pp = make_device_postprocess(threshs, threshs, crf_iters=10,
-                                 bg_pow=3.0)
+    pp = make_device_postprocess(
+        threshs, threshs, crf_iters=10, bg_pow=3.0,
+        crf_dtype=str(cfg.TEST.CRF_DTYPE),
+        crf_stride=int(cfg.TEST.CRF_STRIDE),
+        crf_tap_div=float(cfg.TEST.CRF_TAP_DIV))
     server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8,
                               postprocess=pp)
     server.warmup([(512, 384)])

@@ -84,6 +84,10 @@ def main(argv):
             use_crf=CRFS[idx], crf_fn=crf_fn))
 
     entries = read_filelist(args.infer_list, cfg.TEST.DATA_ROOT)
+    from wseg_tpu.data.pascal_voc import check_split_integrity
+    check_split_integrity(
+        os.path.splitext(os.path.basename(args.infer_list))[0],
+        len(entries))
     timer = Timer()
     N = len(entries)
 
@@ -123,8 +127,12 @@ def main(argv):
 
         threshs = [PROSPECT_THRESHS[i] for i in TEST_ID]
         crf_threshs = [PROSPECT_THRESHS[i] for i in TEST_ID if CRFS[i]]
-        pp = make_device_postprocess(threshs, crf_threshs, crf_iters=10,
-                                     bg_pow=float(cfg.TEST.BG_POW))
+        pp = make_device_postprocess(
+            threshs, crf_threshs, crf_iters=10,
+            bg_pow=float(cfg.TEST.BG_POW),
+            crf_dtype=str(getattr(cfg.TEST, "CRF_DTYPE", "bfloat16")),
+            crf_stride=int(getattr(cfg.TEST, "CRF_STRIDE", 1)),
+            crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)))
         server = MultiScaleServer(model, variables, cfg.TEST,
                                   max_batch=int(cfg.TEST.BATCH_SIZE),
                                   postprocess=pp)

@@ -147,3 +147,49 @@ def test_grain_loader_pool_persists_across_epochs(tmp_path):
     flat2 = [n for b in e2 for n in b]
     assert sorted(flat1) == sorted(flat2)  # every record once per epoch
     assert flat1 != flat2  # reshuffled between passes
+
+
+def test_grain_loader_epoch_alignment_non_divisible(tmp_path):
+    """batch_size not dividing the dataset must NOT drift epoch
+    boundaries: every epoch sees each record at most once and drops the
+    same per-pass remainder as torch DataLoader(drop_last=True)."""
+    from tests.synthetic_voc import make_synthetic_voc
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.data.grain_loader import GrainLoader
+    from wseg_tpu.data.pascal_voc import VOCSegmentation
+
+    reset_cfg()
+    root = make_synthetic_voc(str(tmp_path / "voc"), n_train=7, n_val=1)
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.CROP_SIZE = 32
+    ds = VOCSegmentation(cfg.DATASET, "train_augvoc", root=root)
+    gl = GrainLoader(ds, batch_size=2, num_workers=0, seed=5)
+    assert len(gl) == 3  # 7 // 2
+    for _ in range(3):  # repeated epochs stay pass-aligned
+        names = [n for b in gl for n in b["name"]]
+        assert len(names) == 6
+        assert len(set(names)) == 6  # no within-epoch repeats
+    # drop_last=False yields the 1-record remainder batch
+    gl2 = GrainLoader(ds, batch_size=2, num_workers=0, seed=5,
+                      drop_last=False)
+    batches = list(gl2)
+    assert [b["image"].shape[0] for b in batches] == [2, 2, 2, 1]
+    names = [n for b in batches for n in b["name"]]
+    assert len(set(names)) == 7
+
+
+def test_split_integrity_guard(tmp_path):
+    """Official split names with wrong counts warn by default and raise
+    under WSEG_STRICT_SPLITS (reference pascal_voc.py:155-157 asserts
+    unconditionally)."""
+    import pytest
+
+    from wseg_tpu.data.pascal_voc import check_split_integrity
+
+    check_split_integrity("train", 10582)  # official: silent
+    check_split_integrity("val_voc", 1449)  # stem alias: silent
+    check_split_integrity("custom_list", 3)  # unknown split: silent
+    with pytest.warns(UserWarning):
+        check_split_integrity("train_augvoc", 8)
+    with pytest.raises(AssertionError):
+        check_split_integrity("val", 3, strict=True)

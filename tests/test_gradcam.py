@@ -112,3 +112,19 @@ def test_multi_layer_aggregation(model_and_vars, rng_np):
     s2 = GradCAM(model2, vars2, tap="conv6")(x, 3)
     m2 = GradCAM(model2, vars2, tap=("conv3", "conv6"))(x, 3)
     assert not np.allclose(m2, s2)
+
+
+def test_guided_backprop_single_compile_all_classes(model_and_vars,
+                                                    rng_np):
+    """The target is TRACED (one-hot dot): one compiled backward serves
+    every class — a static target would recompile the full model per
+    class (20 WRN38-scale compiles on remote backends)."""
+    from wseg_tpu.gradcam import GuidedBackprop
+    model, variables = model_and_vars
+    gb = GuidedBackprop(model, variables)
+    x = rng_np.randn(1, 48, 48, 3).astype(np.float32)
+    g0 = gb(x, target_category=0)
+    n_compiles = gb._grad_jit._cache_size()
+    g1 = gb(x, target_category=1)
+    assert gb._grad_jit._cache_size() == n_compiles == 1
+    assert not np.allclose(g0, g1)  # targets still select classes

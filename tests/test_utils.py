@@ -191,3 +191,80 @@ def test_crf_jax_bfloat16_messages_close_to_f32():
     assert np.abs(f32 - b16).mean() < 2e-3
     agree = (np.argmax(f32, -1) == np.argmax(b16, -1)).mean()
     assert agree > 0.99, agree
+
+
+def test_crf_jax_strided_bilateral_close_to_full():
+    """CRF_STRIDE=2 (bilateral message on an H/2 grid, upsampled) must
+    track the full-resolution mean-field on region-structured inputs —
+    the sxy=80-class kernel is tap-sampled far coarser than 2 px."""
+    from wseg_tpu.ops.crf import crf_inference_jax
+    rng = np.random.RandomState(7)
+    H, W = 48, 40
+    img = (rng.rand(H, W, 3) * 255).astype(np.float32)
+    img[:, : W // 2] /= 4.0
+    probs = np.full((H, W, 5), 0.1, np.float32)
+    probs[:, : W // 2, 0] = 0.6
+    probs[:, W // 2:, 1] = 0.6
+    probs /= probs.sum(-1, keepdims=True)
+    full = np.asarray(crf_inference_jax(img[None], probs[None], t=5,
+                                        sxy_bilateral=16.0))
+    half = np.asarray(crf_inference_jax(img[None], probs[None], t=5,
+                                        sxy_bilateral=16.0,
+                                        bilateral_stride=2))
+    agree = (np.argmax(full, -1) == np.argmax(half, -1)).mean()
+    assert agree > 0.97, agree
+    assert np.abs(full - half).mean() < 0.02
+
+
+def test_crf_jax_strided_respects_valid_mask():
+    """Strided bilateral must not bleed padded pixels into the valid
+    window (the merge canvas is padded to static shapes)."""
+    from wseg_tpu.ops.crf import crf_inference_jax
+    rng = np.random.RandomState(1)
+    H = W = 32
+    vh, vw = 25, 27  # odd valid window: exercises the H%s != 0 path
+    img_small = (rng.rand(vh, vw, 3) * 255).astype(np.float32)
+    probs_small = rng.dirichlet(np.ones(4), size=(vh, vw)) \
+        .astype(np.float32)
+
+    img = np.zeros((H, W, 3), np.float32)
+    probs = np.full((H, W, 4), 0.25, np.float32)
+    img[:vh, :vw] = img_small
+    probs[:vh, :vw] = probs_small
+    mask = np.zeros((H, W, 1), np.float32)
+    mask[:vh, :vw] = 1.0
+
+    padded = np.asarray(crf_inference_jax(
+        img[None], probs[None], t=3, sxy_bilateral=8.0,
+        valid_mask=mask[None], bilateral_stride=2))[0, :vh, :vw]
+    exact = np.asarray(crf_inference_jax(
+        img_small[None], probs_small[None], t=3, sxy_bilateral=8.0,
+        bilateral_stride=2))[0]
+    # interior agreement (the masked-path normalisation differs only
+    # where the low-res cell straddles the window edge)
+    agree = (np.argmax(padded, -1) == np.argmax(exact, -1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_metric_buffer_batched_fetch():
+    """MetricBuffer flushes scalars in one stacked transfer and extras
+    in one concat, preserving per-step values and order."""
+    import jax.numpy as jnp
+
+    from wseg_tpu.engine.trainer import MetricBuffer
+    from wseg_tpu.utils.stat_manager import StatManager
+
+    stat = StatManager()
+    buf = MetricBuffer(stat)
+    for i in range(5):
+        buf.append({"loss": jnp.asarray(float(i)),
+                    "aux": jnp.asarray(10.0 + i)},
+                   extra=jnp.full((2, 3), float(i)))
+    last = buf.flush()
+    assert last == {"loss": 4.0, "aux": 14.0}
+    assert stat.summarize_key("loss") == 2.0
+    rows = np.vstack(buf.extra_rows)
+    assert rows.shape == (10, 3)
+    np.testing.assert_array_equal(rows[:, 0],
+                                  np.repeat(np.arange(5.0), 2))
+    assert buf.flush() == last  # empty flush is a no-op

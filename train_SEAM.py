@@ -38,20 +38,25 @@ class SEAMTrainer:
         mask_on = jnp.asarray(0.0 if pretrain else 1.0)
         er_on = jnp.asarray(0.0 if pretrain_er else 1.0)
 
+        # metrics stay on device between log points (one stacked fetch
+        # per 10 steps), same pipeline hygiene as DecTrainer.train_epoch
+        from wseg_tpu.engine.trainer import MetricBuffer
+        buf = MetricBuffer(stat)
         for i, batch in enumerate(b.trainloader):
             db = b._device_batch(batch)
             b.state, metrics = self.seam_step(b.state, db, b.rng,
                                               mask_on, er_on)
-            for k, v in metrics.items():
-                stat.update_stats(k, float(v))
+            buf.append(metrics)
             if i % 10 == 0:
+                last = buf.flush()
                 msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)
-                for k in sorted(metrics):
-                    msg += "{}: {:.4f} | ".format(k, float(metrics[k]))
+                for k in sorted(last):
+                    msg += "{}: {:.4f} | ".format(k, float(last[k]))
                 ips = (i + 1) * int(cfg.TRAIN.BATCH_SIZE) / \
                     timer.get_stage_elapsed()
                 print(msg + " | Im/Sec: {:.1f}".format(ips), flush=True)
 
+        buf.flush()
         for k in stat.vals:
             print("{}: {:4.3f}".format(k, stat.summarize_key(k)))
 

@@ -125,6 +125,21 @@ def _default_cfg() -> AttrDict:
     # host PIL resizes.  Views match PIL within ~2/255 per pixel
     # (tests/test_view_gen.py); set False for the byte-exact host path.
     c.TEST.DEVICE_VIEWS = True
+    # TPU extension: device-CRF numerics.  CRF_DTYPE sets the
+    # message-passing precision ("bfloat16" halves the HBM traffic of
+    # the ~80-tap bilateral loop; "float32" for byte-exact parity runs).
+    # CRF_STRIDE > 1 evaluates the bilateral message on an (H/s, W/s)
+    # grid and upsamples (the sxy=80 kernel is ~40-px sampled, so s=2
+    # is far inside its smoothness; ~4x cheaper bilateral).  Fidelity
+    # bounds vs the exact permutohedral CRF: tools/crf_fidelity.py and
+    # docs/PARITY.md.
+    c.TEST.CRF_DTYPE = "bfloat16"
+    c.TEST.CRF_STRIDE = 2
+    # bilateral tap-grid density (step = sxy / div).  2.0 with stride 2
+    # is ~4x cheaper than the r2 default and slightly MORE faithful to
+    # the exact lattice; 4.0 at stride 2 costs about the r2 default and
+    # tracks the exact permutohedral closest (~1.2%% argmax deviation).
+    c.TEST.CRF_TAP_DIV = 2.0
 
     c.DATASET = AttrDict()
     c.DATASET.CROP_SIZE = 321

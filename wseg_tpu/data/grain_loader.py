@@ -67,40 +67,58 @@ class GrainLoader:
             def __getitem__(self, idx):
                 return self._ds[int(idx)]
 
-        operations = [
-            pygrain.Batch(batch_size=self.batch_size,
-                          drop_remainder=self.drop_last),
-        ]
+        # batching happens host-side in __iter__ (np.stack of decoded
+        # records is cheap): a grain Batch op on the infinite stream
+        # would straddle shuffle-pass boundaries whenever batch_size
+        # does not divide the shard size, drifting epoch boundaries and
+        # repeating/skipping records within a nominal epoch (the torch
+        # DataLoader drop_last semantics are per-pass)
         loader = pygrain.DataLoader(
             data_source=_Source(self.dataset),
             sampler=sampler,
-            operations=operations,
+            operations=[],
             worker_count=self.num_workers,
         )
         return iter(loader)
+
+    def _records_per_pass(self):
+        n = len(self.dataset)
+        if self.shard_count > 1:
+            n = n // self.shard_count  # ShardOptions drop_remainder
+        return n
+
+    def _stack(self, records):
+        cols = list(zip(*records))
+        images, labels, names, masks = cols[:4]
+        images = np.stack(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        out = {
+            "image": images,
+            "labels": np.stack(labels).astype(np.float32),
+            "name": list(names),
+            "mask": np.stack(masks),
+        }
+        if len(cols) > 4:  # optional scoremap stream
+            out["score"] = np.stack(cols[4]).astype(np.float32)
+        return out
 
     def __iter__(self):
         if getattr(self, "_it", None) is None:
             self._it = self._make_iterator()
         self.epoch += 1
-        for _ in range(len(self)):
-            batch = next(self._it)
-            # pygrain.Batch stacks leaves when they are arrays; our
-            # dataset returns tuples, so batches arrive as tuples of
-            # stacked components
-            if isinstance(batch, dict):
-                yield batch
-            else:
-                images, labels, names, masks = batch
-                images = np.asarray(images)
-                if images.dtype != np.uint8:
-                    images = images.astype(np.float32)
-                yield {
-                    "image": images,
-                    "labels": np.asarray(labels, np.float32),
-                    "name": list(names),
-                    "mask": np.asarray(masks),
-                }
+        # consume EXACTLY one shuffle pass: yield full batches, drop
+        # (but still drain) the pass remainder so the next epoch starts
+        # on its own pass
+        n = self._records_per_pass()
+        n_full = n // self.batch_size
+        for _ in range(n_full):
+            yield self._stack([next(self._it)
+                               for _ in range(self.batch_size)])
+        rem = n - n_full * self.batch_size
+        tail = [next(self._it) for _ in range(rem)]
+        if tail and not self.drop_last:
+            yield self._stack(tail)
 
 
 def make_train_loader(dataset, batch_size: int, use_grain: bool = False,

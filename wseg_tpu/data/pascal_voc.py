@@ -7,6 +7,7 @@ host in numpy/PIL; normalisation happens on device.  Returns NHWC float32.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -99,6 +100,35 @@ def read_filelist(path: str, root: str = "") -> List[Tuple[str, str]]:
     return entries
 
 
+# Official split sizes the reference hard-asserts
+# (reference datasets/pascal_voc.py:155-157): SBD-augmented train and
+# the VOC2012 val list.
+OFFICIAL_SPLIT_SIZES = {"train": 10582, "val": 1449}
+
+
+def check_split_integrity(split: str, n: int, strict: bool = False):
+    """Guard against a truncated/corrupt official split list.
+
+    The reference asserts unconditionally; here synthetic/subset lists
+    are legitimate (tests, smoke runs, tools/journey_tpu.sh), so a
+    mismatch warns by default and only raises with ``strict`` (set
+    ``WSEG_STRICT_SPLITS=1`` for reference-exact behaviour on real VOC).
+    """
+    # list-file stems map onto the split names (reference
+    # datasets/pascal_voc.py:114-124: train -> train_augvoc.txt,
+    # val -> val_voc.txt)
+    split = {"train_augvoc": "train", "val_voc": "val"}.get(split, split)
+    expect = OFFICIAL_SPLIT_SIZES.get(split)
+    if expect is None or n == expect:
+        return
+    msg = ("split '%s' has %d entries; the official VOC list has %d "
+           "(reference datasets/pascal_voc.py:155-157)" %
+           (split, n, expect))
+    if strict or os.environ.get("WSEG_STRICT_SPLITS"):
+        raise AssertionError(msg)
+    warnings.warn(msg)
+
+
 class VOCSegmentation:
     """Training/validation dataset with joint augmentation.
 
@@ -116,6 +146,7 @@ class VOCSegmentation:
         self.split = split
         self.entries = read_filelist(
             os.path.join(self.root, split + ".txt"), self.root)
+        check_split_integrity(split, len(self.entries))
         self.augment = augment
         # optional externally-produced per-image scoremap stream,
         # joint-augmented with image/mask (reference

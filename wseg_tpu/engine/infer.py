@@ -163,7 +163,9 @@ def make_infer_merge_fn(model):
 
 
 def _postprocess_one(sum_map, labels, window, img_u8, *, n_views,
-                     bg_pow, threshs, crf_threshs, crf_iters):
+                     bg_pow, threshs, crf_threshs, crf_iters,
+                     crf_dtype="bfloat16", crf_stride=1,
+                     crf_tap_div=2.0):
     """Writer math on device: clean -> BG^pow -> (CRF) -> threshold ->
     argmax, at the static merge-canvas shape.  Only (K, H, W) uint8 label
     maps cross the link (the merged score map is ~84x bigger).
@@ -192,37 +194,52 @@ def _postprocess_one(sum_map, labels, window, img_u8, *, n_views,
         q = crf_inference_jax(img_u8.astype(jnp.float32)[None],
                               merged[None], t=int(crf_iters),
                               valid_mask=valid.astype(jnp.float32)[None],
-                              dtype=jnp.bfloat16)
+                              dtype={"bfloat16": jnp.bfloat16,
+                                     "float32": jnp.float32}[crf_dtype],
+                              bilateral_stride=int(crf_stride),
+                              tap_spacing_div=float(crf_tap_div))
         preds += [pred(q[0], float(t)) for t in crf_threshs]
     return jnp.stack(preds)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters"))
+    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters",
+    "crf_dtype", "crf_stride", "crf_tap_div"))
 def _device_postprocess_jit(sum_map, labels, window, img_u8, *, n_views,
-                            bg_pow, threshs, crf_threshs, crf_iters):
+                            bg_pow, threshs, crf_threshs, crf_iters,
+                            crf_dtype="bfloat16", crf_stride=1,
+                            crf_tap_div=2.0):
     return _postprocess_one(sum_map, labels, window, img_u8,
                             n_views=n_views, bg_pow=bg_pow,
                             threshs=threshs, crf_threshs=crf_threshs,
-                            crf_iters=crf_iters)
+                            crf_iters=crf_iters, crf_dtype=crf_dtype,
+                            crf_stride=crf_stride,
+                            crf_tap_div=crf_tap_div)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters"))
+    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters",
+    "crf_dtype", "crf_stride", "crf_tap_div"))
 def _device_postprocess_group_jit(sum_maps, labels, windows, imgs_u8, *,
                                   n_views, bg_pow, threshs, crf_threshs,
-                                  crf_iters):
+                                  crf_iters, crf_dtype="bfloat16",
+                                  crf_stride=1, crf_tap_div=2.0):
     """Slot-batched writer math: ONE dispatch and ONE (S, K, H, W)
     uint8 fetch per serving group instead of S of each (each fetch pays
     the link round trip on remote-attached chips)."""
     return jax.vmap(lambda s, l, w, i: _postprocess_one(
         s, l, w, i, n_views=n_views, bg_pow=bg_pow, threshs=threshs,
-        crf_threshs=crf_threshs, crf_iters=crf_iters))(
+        crf_threshs=crf_threshs, crf_iters=crf_iters,
+        crf_dtype=crf_dtype, crf_stride=crf_stride,
+        crf_tap_div=crf_tap_div))(
         sum_maps, labels, windows, imgs_u8)
 
 
 def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
-                            bg_pow: float = 3.0):
+                            bg_pow: float = 3.0,
+                            crf_dtype: str = "bfloat16",
+                            crf_stride: int = 1,
+                            crf_tap_div: float = 2.0):
     """Returns pp(sum_map, labels, window, img_u8_canvas, size_hw,
     n_views) -> dict thresh -> {"pred": (h,w) uint8, "pred_crf": ...}.
 
@@ -240,7 +257,9 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             sum_map, jnp.asarray(labels, jnp.float32),
             jnp.asarray(window, jnp.int32), jnp.asarray(img_u8),
             n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
-            crf_threshs=crf_threshs, crf_iters=int(crf_iters))
+            crf_threshs=crf_threshs, crf_iters=int(crf_iters),
+            crf_dtype=str(crf_dtype), crf_stride=int(crf_stride),
+            crf_tap_div=float(crf_tap_div))
 
     def finalize(preds_np, window, size_hw):
         pt, pl, vh, vw = window
@@ -260,7 +279,9 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             sum_maps, jnp.asarray(labels, jnp.float32),
             jnp.asarray(windows, jnp.int32), jnp.asarray(imgs_u8),
             n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
-            crf_threshs=crf_threshs, crf_iters=int(crf_iters))
+            crf_threshs=crf_threshs, crf_iters=int(crf_iters),
+            crf_dtype=str(crf_dtype), crf_stride=int(crf_stride),
+            crf_tap_div=float(crf_tap_div))
 
     def pp(sum_map, labels, window, img_u8, size_hw, n_views):
         preds = np.asarray(jax.device_get(

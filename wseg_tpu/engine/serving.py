@@ -90,6 +90,7 @@ class MultiScaleServer:
         predictable."""
         vpi = self.views.num_views // len(self.views.scales)
         cap = vpi * self.max_batch
+        host_sizes = list(image_sizes)
         if self.device_views:
             import jax.numpy as jnp
 
@@ -98,7 +99,13 @@ class MultiScaleServer:
             canv = jnp.zeros((self.max_batch, ch, cw, 3), jnp.uint8)
             wins = jnp.zeros((self.max_batch, 4), jnp.int32)
             seen = set()
+            pp_seen = set()
+            # oversized images fall back to the host path (warmed below)
+            host_sizes = [(w, h) for (w, h) in image_sizes
+                          if not (h <= ch and w <= cw)]
             for (w, h) in image_sizes:
+                if (w, h) in host_sizes:
+                    continue
                 shapes = self.views.view_shapes(w, h)
                 for si, (ph, pw) in enumerate(shapes):
                     key = (ph, pw, tuple(shapes[0]))
@@ -113,10 +120,27 @@ class MultiScaleServer:
                     if si == 0 and self.postprocess is not None:
                         build_views_u8(canv, wins, wins, out_hw=(ph, pw),
                                        flip_pair=False)
-            return
+                # the slot-batched postprocess program _resolve uses
+                # (one per merge-canvas shape): a cold compile there
+                # would otherwise land on the finisher thread
+                mh, mw = shapes[0]
+                if self.postprocess is not None and \
+                        (mh, mw) not in pp_seen:
+                    pp_seen.add((mh, mw))
+                    nc = int(cls.shape[-1]) + 1
+                    dev = self.postprocess.dispatch_group(
+                        jnp.zeros((self.max_batch, mh, mw, nc),
+                                  jnp.float32),
+                        np.zeros((self.max_batch, nc - 1), np.float32),
+                        np.tile(np.asarray([0, 0, mh, mw], np.int32),
+                                (self.max_batch, 1)),
+                        jnp.zeros((self.max_batch, mh, mw, 3),
+                                  jnp.uint8),
+                        self.views.num_views)
+                    np.asarray(jax.device_get(dev))
         seen = set()
         dt = np.uint8 if self.uint8 else np.float32
-        for (w, h) in image_sizes:
+        for (w, h) in host_sizes:
             for (ph, pw) in self.views.view_shapes(w, h):
                 if (ph, pw) in seen:
                     continue
@@ -183,11 +207,18 @@ class MultiScaleServer:
 
     def _process(self, group):
         if self.device_views:
+            # split rather than demote: one oversized image must not
+            # push the whole group onto the (possibly cold) host path
             ch, cw = self.canvas_hw
-            if all(im.size[1] <= ch and im.size[0] <= cw
-                   for im, _, _ in group):
-                self._process_device(group)
+            fits = [g[0].size[1] <= ch and g[0].size[0] <= cw
+                    for g in group]
+            fit = [g for g, ok in zip(group, fits) if ok]
+            over = [g for g, ok in zip(group, fits) if not ok]
+            if fit:
+                self._process_device(fit)
+            if not over:
                 return
+            group = over
         per_image = []  # (views, pads, flips, size_hw)
         for image, _, _ in group:
             w, h = image.size

@@ -30,6 +30,52 @@ from wseg_tpu.utils.stat_manager import StatManager
 from wseg_tpu.utils.timer import Timer
 
 
+class MetricBuffer:
+    """Keeps per-step metric dicts ON DEVICE and fetches them in one
+    stacked transfer per flush.
+
+    A ``float(v)`` per metric per step stalls the dispatch pipeline on
+    every step (the host<->device RTT on a relay-attached chip is ~30 ms
+    — larger than the step itself); ``jax.device_get`` on a raw list is
+    no better, it issues one fetch per scalar leaf.  Used by
+    train_epoch, validation and the SEAM loop.
+    """
+
+    def __init__(self, stat: Optional[StatManager] = None):
+        self.stat = stat
+        self.pending = []
+        self.extra = []  # optional per-step device arrays (e.g. cls)
+        self.last = None
+        self.extra_rows = []
+
+    def append(self, metrics, extra=None):
+        self.pending.append(metrics)
+        if extra is not None:
+            self.extra.append(extra)
+
+    def flush(self):
+        """One stacked scalar transfer (+ one concat transfer for any
+        ``extra`` arrays); returns the most recent metrics row."""
+        if not self.pending:
+            return self.last
+        keys = sorted(self.pending[0])
+        flat = jnp.stack([m[k] for m in self.pending for k in keys])
+        vals = np.asarray(jax.device_get(flat), np.float32)
+        for j in range(len(self.pending)):
+            row = {k: float(vals[j * len(keys) + i])
+                   for i, k in enumerate(keys)}
+            if self.stat is not None:
+                for k, v in row.items():
+                    self.stat.update_stats(k, v)
+            self.last = row
+        self.pending.clear()
+        if self.extra:
+            cat = jnp.concatenate(self.extra, axis=0)
+            self.extra_rows.append(np.asarray(jax.device_get(cat)))
+            self.extra.clear()
+        return self.last
+
+
 class DecTrainer:
     def __init__(self, args):
         self.args = args
@@ -159,8 +205,13 @@ class DecTrainer:
         if not hasattr(self, "_vis_step"):
             self._vis_step = make_vis_step(self.model)
         vis = self._vis_step(self.state, self.fixed_batch)
-        image01 = np.clip(np.asarray(
-            denormalize_image(self.fixed_batch["image"])), 0, 1)
+        img = self.fixed_batch["image"]
+        if img.dtype == np.uint8:
+            # default loader transfer='uint8': raw 0-255 pixels —
+            # denormalising those saturates the panel to white
+            image01 = img.astype(np.float32) / 255.0
+        else:
+            image01 = np.clip(np.asarray(denormalize_image(img)), 0, 1)
         panels = [image01]
         for key in ("cam", "dec", "pseudo"):
             if key not in vis:
@@ -184,29 +235,9 @@ class DecTrainer:
 
         # Metrics stay on device and are fetched in batches every 10 steps
         # so the dispatch pipeline is never stalled by a per-step host sync
-        # (the host<->device RTT dwarfs the step time on a relay-attached
-        # chip; the reference's .item()-per-step is a torch-ism,
-        # reference train.py:163-171).
-        pending = []
-        last = None
-
-        def _flush():
-            nonlocal last
-            if not pending:
-                return
-            # ONE stacked transfer: device_get on the raw list issues a
-            # fetch per scalar leaf (~50 round trips per flush on a
-            # relay-attached chip)
-            keys = sorted(pending[0])
-            flat = jnp.stack([m[k] for m in pending for k in keys])
-            vals = np.asarray(jax.device_get(flat), np.float32)
-            for j in range(len(pending)):
-                row = {k: float(vals[j * len(keys) + i])
-                       for i, k in enumerate(keys)}
-                for k, v in row.items():
-                    stat.update_stats(k, v)
-                last = row
-            pending.clear()
+        # (the reference's .item()-per-step is a torch-ism, reference
+        # train.py:163-171).
+        buf = MetricBuffer(stat)
 
         profile_dir = getattr(self.args, "profile_dir", "")
         dbg = bool(os.environ.get("WSEG_DEBUG_STEPTIME"))
@@ -226,7 +257,7 @@ class DecTrainer:
                 print(f"[steptime] {i} put {t1 - t0:.3f}", flush=True)
             self.state, metrics = self.train_step(self.state, db,
                                                   self.rng, mask_on)
-            pending.append(metrics)
+            buf.append(metrics)
             if dbg:
                 t_last = _time.perf_counter()
                 print(f"[steptime] {i} dispatch {t_last - t1:.3f}",
@@ -237,7 +268,7 @@ class DecTrainer:
                 profile_dir = ""
 
             if i % 10 == 0:
-                _flush()
+                last = buf.flush()
                 msg = "Epoch[{}] Loss [{:04d}]: ".format(epoch, i)
                 for k in sorted(last):
                     msg += "{}: {:.4f} | ".format(k, float(last[k]))
@@ -256,7 +287,7 @@ class DecTrainer:
                 print(msg + " | Im/Sec: {:.1f}".format(ips) + win,
                       flush=True)
 
-        _flush()
+        buf.flush()
         for k in stat.vals:
             print("{}: {:4.3f}".format(k, stat.summarize_key(k)))
             if self.writer:
@@ -269,17 +300,22 @@ class DecTrainer:
 
     def validation(self, epoch: int, checkpoint: bool = False):
         stat = StatManager()
-        targets, preds = [], []
-        for batch in self.valloader:
+        # dispatch the whole pass without per-batch host syncs; scalars
+        # and cls logits are fetched in batched transfers every 10 steps
+        buf = MetricBuffer(stat)
+        targets = []
+        for i, batch in enumerate(self.valloader):
             db = self._device_batch(batch)
             metrics, cls = self.eval_step(self.state, db)
-            for k, v in metrics.items():
-                stat.update_stats(k, float(v))
-            preds.append(1.0 / (1.0 + np.exp(-np.asarray(cls))))
+            buf.append(metrics, extra=cls)
             targets.append(np.asarray(batch["labels"]))
+            if (i + 1) % 10 == 0:
+                buf.flush()
+        buf.flush()
 
         targets = np.vstack(targets)
-        preds = np.vstack(preds)
+        preds = 1.0 / (1.0 + np.exp(
+            -np.vstack(buf.extra_rows).astype(np.float32)))
         n_fg = min(targets.shape[1], preds.shape[1])
         aps = average_precision(targets[:, :n_fg], preds[:, :n_fg])
         mean_ap = float(np.mean(aps))

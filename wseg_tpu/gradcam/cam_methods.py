@@ -321,12 +321,18 @@ class GuidedBackprop:
     def __init__(self, model, variables, tap: str = "conv6"):
         def score_fn(variables, image, target):
             out = model.apply(variables, image, train=False)
-            return jnp.sum(out.cls[:, target])
+            # TRACED target (one-hot dot, like _acts_grads_jit): one
+            # compiled backward serves every class.  A static target
+            # would recompile the full model per class — 20 fresh
+            # WRN38-scale compiles on remote-compile backends.
+            onehot = (jnp.arange(out.cls.shape[1]) ==
+                      target).astype(out.cls.dtype)
+            return jnp.sum(out.cls * onehot[None, :])
 
-        self._grad_jit = jax.jit(jax.grad(score_fn, argnums=1),
-                                 static_argnums=(2,))
+        self._grad_jit = jax.jit(jax.grad(score_fn, argnums=1))
         self._grad_fn = lambda image, target: \
-            self._grad_jit(variables, image, target)
+            self._grad_jit(variables, image, jnp.asarray(target,
+                                                         jnp.int32))
 
     def __call__(self, image, target_category: int,
                  eigen_smooth: bool = False) -> np.ndarray:

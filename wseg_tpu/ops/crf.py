@@ -56,7 +56,8 @@ def crf_inference_np(img: np.ndarray, probs: np.ndarray, t: int = 10,
                      scale_factor: float = 1.0, labels: int = 21,
                      sxy_gaussian: float = 3.0, compat_gaussian: float = 3.0,
                      sxy_bilateral: float = 80.0, srgb: float = 13.0,
-                     compat_bilateral: float = 10.0) -> np.ndarray:
+                     compat_bilateral: float = 10.0,
+                     tap_spacing_div: float = 2.0) -> np.ndarray:
     """Host (numpy) mean-field CRF.
 
     Args:
@@ -71,7 +72,7 @@ def crf_inference_np(img: np.ndarray, probs: np.ndarray, t: int = 10,
     sxy_b = sxy_bilateral / scale_factor
 
     # bilateral: precompute per-tap spatial and colour weights
-    taps = _bilateral_taps(sxy_b)
+    taps = _bilateral_taps(sxy_b, spacing_div=tap_spacing_div)
     tap_spatial = np.asarray(
         [math.exp(-(dy * dy + dx * dx) / (2.0 * sxy_b * sxy_b))
          for dy, dx in taps], np.float32)
@@ -140,7 +141,8 @@ def crf_inference_jax(img, probs, t: int = 10,
                       compat_gaussian: float = 3.0,
                       sxy_bilateral: float = 80.0, srgb: float = 13.0,
                       compat_bilateral: float = 10.0, valid_mask=None,
-                      dtype=None):
+                      dtype=None, bilateral_stride: int = 1,
+                      tap_spacing_div: float = 2.0):
     """Batched on-device mean-field CRF over NHWC probs.
 
     Same algorithm as :func:`crf_inference_np`, expressed with XLA ops
@@ -152,6 +154,18 @@ def crf_inference_jax(img, probs, t: int = 10,
     loop is HBM-bound; bfloat16 halves its traffic).  Unary and softmax
     stay float32 — mean-field renormalises every iteration, so message
     rounding does not accumulate.  Default float32.
+
+    ``bilateral_stride`` s > 1 evaluates the bilateral message on an
+    (H/s, W/s) grid and bilinearly upsamples it: the sxy=80 kernel is
+    ~40-px tap-sampled already, so the message is smooth far beyond s=2
+    pixels; cost of the dominant tap loop drops ~s^2.  The fine-scale
+    Gaussian (sxy 3) pairwise stays full resolution.
+
+    ``tap_spacing_div`` sets the bilateral tap-grid density (step =
+    sxy / div).  At stride 2, div=4.0 costs about the same as the
+    full-resolution div=2.0 grid and tracks the exact permutohedral
+    lattice closest (argmax disagreement ~1.2%, tools/crf_fidelity.py).
+    Accuracy bounds: tools/crf_fidelity.py + docs/PARITY.md.
     """
     import jax
     import jax.numpy as jnp
@@ -177,10 +191,30 @@ def crf_inference_jax(img, probs, t: int = 10,
         xp = jnp.pad(acc, ((0, 0), (0, 0), (r, r), (0, 0)))
         return sum(k1d_j[i] * xp[:, :, i:i + W] for i in range(2 * r + 1))
 
-    # --- bilateral taps
-    taps = _bilateral_taps(sxy_bilateral)
-    tap_sp = [math.exp(-(dy * dy + dx * dx) /
-                       (2.0 * sxy_bilateral * sxy_bilateral))
+    # --- bilateral: optionally evaluated on a strided grid
+    s = int(bilateral_stride)
+    if s > 1:
+        Hp, Wp = -(-H // s) * s, -(-W // s) * s
+        Hl, Wl = Hp // s, Wp // s
+
+        def down(x):
+            xp = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+            return xp.reshape(B, Hl, s, Wl, s,
+                              x.shape[-1]).mean(axis=(2, 4))
+
+        vm_b = down(valid_mask)
+        denom = jnp.maximum(vm_b, 1e-8)
+        img_b = down(img_f * valid_mask) / denom
+        sxy_b = sxy_bilateral / s
+        Hb, Wb = Hl, Wl
+    else:
+        vm_b = valid_mask
+        img_b = img_f
+        sxy_b = sxy_bilateral
+        Hb, Wb = H, W
+
+    taps = _bilateral_taps(sxy_b, spacing_div=tap_spacing_div)
+    tap_sp = [math.exp(-(dy * dy + dx * dx) / (2.0 * sxy_b * sxy_b))
               for dy, dx in taps]
 
     def shift(x, dy, dx):
@@ -188,15 +222,15 @@ def crf_inference_jax(img, probs, t: int = 10,
         pad = ((0, 0), (max(0, -dy), max(0, dy)),
                (max(0, -dx), max(0, dx)), (0, 0))
         xp = jnp.pad(x, pad)
-        return xp[:, max(0, dy):max(0, dy) + H,
-                  max(0, dx):max(0, dx) + W, :]
+        return xp[:, max(0, dy):max(0, dy) + Hb,
+                  max(0, dx):max(0, dx) + Wb, :]
 
     colour_w = []
     for (dy, dx) in taps:
-        diff = img_f - shift(img_f, -dy, -dx)
+        diff = img_b - shift(img_b, -dy, -dx)
         cw = jnp.exp(-jnp.sum(diff * diff, -1, keepdims=True)
                      / (2.0 * srgb * srgb))
-        colour_w.append((cw * valid_mask).astype(dtype))
+        colour_w.append((cw * vm_b).astype(dtype))
 
     def bilateral_filter(x):
         # x arrives pre-masked and in ``dtype``; per-tap colour weights
@@ -207,18 +241,29 @@ def crf_inference_jax(img, probs, t: int = 10,
                 colour_w[k] * shift(x, -dy, -dx)).astype(jnp.float32)
         return acc
 
-    ones = valid_mask
-    norm_g = jax.lax.rsqrt(jnp.maximum(gauss_filter(ones), 1e-20))
+    norm_g = jax.lax.rsqrt(jnp.maximum(gauss_filter(valid_mask), 1e-20))
     norm_b = jax.lax.rsqrt(jnp.maximum(
-        bilateral_filter(ones.astype(dtype)), 1e-20))
+        bilateral_filter(vm_b.astype(dtype)), 1e-20))
+
+    if s > 1:
+        from wseg_tpu.ops.resize import resize_bilinear
+
+        def bilateral_msg(Q):
+            Ql = down(Q * valid_mask) / denom
+            qb = bilateral_filter((Ql * norm_b).astype(dtype)) * norm_b
+            up = resize_bilinear(qb, (Hp, Wp), align_corners=False)
+            return up[:, :H, :W] * valid_mask
+    else:
+        def bilateral_msg(Q):
+            return bilateral_filter(
+                (Q * norm_b * valid_mask).astype(dtype)) * norm_b
 
     unary = -jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-8))
     self_g = norm_g * norm_g  # centre-tap self contribution (see numpy ver)
 
     def body(Q, _):
         qg = gauss_filter(Q * norm_g) * norm_g - self_g * Q
-        qb = bilateral_filter(
-            (Q * norm_b * valid_mask).astype(dtype)) * norm_b
+        qb = bilateral_msg(Q)
         msg = compat_gaussian * qg + compat_bilateral * qb
         Q = jax.nn.softmax(-unary + msg, axis=-1)
         return Q, None
