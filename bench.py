@@ -18,6 +18,7 @@ DeepLab-scale models on that hardware support 0.2-0.4 img/s; we use
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -100,6 +101,17 @@ def main():
 
     e2e_img_per_sec = bench_e2e(model, variables)
 
+    # train-step throughput in the driver-captured artifact (bs 8 + 16,
+    # crop 384 — the configs/voc_resnet38.yaml recipe); skippable for a
+    # quick inference-only run via WSEG_BENCH_NO_TRAIN=1
+    train = {}
+    if not os.environ.get("WSEG_BENCH_NO_TRAIN"):
+        from bench_train import measure_train_step
+        for bs in (8, 16):
+            step_ms, ips = measure_train_step(bs)
+            train[f"train_step_ms_bs{bs}"] = round(step_ms, 1)
+            train[f"train_imgs_per_sec_bs{bs}"] = round(ips, 3)
+
     result = {
         "metric": "multiscale_inference_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
@@ -112,6 +124,7 @@ def main():
         "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
         "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
                                  2),
+        **train,
     }
     print(json.dumps(result), flush=True)
 

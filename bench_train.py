@@ -2,19 +2,28 @@
 """Secondary benchmark: flagship training-step throughput (img/s/chip).
 
 WRN38 + CAM_CASA_WGAP_tf, batch 8, crop 384 (configs/voc_resnet38.yaml),
-bf16 compute, Pallas PAMR.  Prints one JSON line like bench.py (the
-driver's headline metric stays the inference bench in bench.py).
+bf16 compute, Pallas PAMR.  Prints one JSON line like bench.py; bench.py
+also calls :func:`measure_train_step` so the driver's BENCH_r{N}.json
+records train numbers (VERDICT r2 task 4).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def measure_train_step(bs: int, crop: int = 384, n: int = 10):
+    """Returns (step_ms, imgs_per_sec) for the flagship train step.
+
+    Steady state: dispatch ``n`` steps back-to-back (each chains on the
+    previous state on device) and fetch ONE final loss — matching the
+    trainer, which batches metric fetches every LOG_EVERY steps.  A
+    per-step fetch would add the ~30 ms relay round trip to every step.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -35,9 +44,6 @@ def main():
 
     model = get_model(cfg.NET, num_classes=21)
     rng = jax.random.PRNGKey(0)
-    import os
-    bs = int(os.environ.get("WSEG_BENCH_BS", "8"))
-    crop = int(os.environ.get("WSEG_BENCH_CROP", "384"))
     host = np.random.RandomState(0)
     batch = {
         "image": jnp.asarray(host.rand(bs, crop, crop, 3), jnp.float32),
@@ -51,27 +57,27 @@ def main():
     state, metrics = step(state, batch, rng, jnp.asarray(1.0))
     float(metrics["loss"])  # force compile + first run
 
-    # Steady state: dispatch n steps back-to-back (each chains on the
-    # previous state on device) and fetch ONE final loss — matching the
-    # trainer, which batches metric fetches every LOG_EVERY steps.  A
-    # per-step fetch would add the ~30 ms relay round trip to every step.
-    n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = step(state, batch, rng, jnp.asarray(1.0))
     final = float(metrics["loss"])  # forces the whole chain to complete
     dt = (time.perf_counter() - t0) / n
     assert np.isfinite(final)
+    return dt * 1000.0, bs / dt
 
+
+def main():
+    bs = int(os.environ.get("WSEG_BENCH_BS", "8"))
+    crop = int(os.environ.get("WSEG_BENCH_CROP", "384"))
+    step_ms, ips = measure_train_step(bs, crop)
     print(json.dumps({
         "metric": "flagship_train_step_images_per_sec_per_chip",
-        "value": round(bs / dt, 3),
+        "value": round(ips, 3),
         "unit": "img/s",
-        "step_ms": round(dt * 1000, 1),
+        "step_ms": round(step_ms, 1),
     }), flush=True)
 
 
 if __name__ == "__main__":
     main()
-    import os
     os._exit(0)

@@ -133,9 +133,22 @@ def main(argv):
             crf_dtype=str(getattr(cfg.TEST, "CRF_DTYPE", "bfloat16")),
             crf_stride=int(getattr(cfg.TEST, "CRF_STRIDE", 1)),
             crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)))
+        # data-parallel inference over every available device (the
+        # reference wraps the infer model in nn.DataParallel,
+        # infer_val.py:99): slot batches shard over the mesh data axis
+        mesh = None
+        n_dev = len(jax.devices())
+        mb = int(cfg.TEST.BATCH_SIZE)
+        if n_dev > 1:
+            from wseg_tpu.parallel import make_mesh
+            n_data = max(d for d in range(1, n_dev + 1) if mb % d == 0)
+            if n_data > 1:
+                mesh = make_mesh(n_data=n_data,
+                                 devices=jax.devices()[:n_data])
+                print(f"Data-parallel inference over {n_data} devices")
         server = MultiScaleServer(model, variables, cfg.TEST,
-                                  max_batch=int(cfg.TEST.BATCH_SIZE),
-                                  postprocess=pp)
+                                  max_batch=mb, postprocess=pp,
+                                  mesh=mesh)
         # compile the bucket programs on THIS thread before the worker
         # touches them (XLA compiles inside the worker thread have been
         # observed to abort on some backends), sized from the first image

@@ -119,3 +119,48 @@ def test_server_device_views_close_to_host_views(model_vars, rng_np):
         am = (np.argmax(m_d, -1) == np.argmax(m_h, -1)).mean()
         assert am > 0.97, am
         np.testing.assert_array_equal(l_d, l_h)
+
+
+def test_server_data_parallel_mesh_matches_single(model_vars, rng_np):
+    """Data-parallel inference (reference infer_val.py:99 DataParallel):
+    the mesh-sharded server must produce identical results to the
+    single-device server — sharding the slot axis is a layout choice,
+    not a numerics change."""
+    _apply_cfg()
+    cfg.TEST.DEVICE_VIEWS = True
+    cfg.TEST.UINT8_TRANSFER = True
+    model, variables = model_vars
+
+    from wseg_tpu.parallel import make_mesh
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+
+    imgs = [Image.fromarray(
+        (rng_np.rand(40, 48, 3) * 255).astype(np.uint8))
+        for _ in range(5)]
+
+    def run(mesh_arg):
+        server = MultiScaleServer(model, variables, cfg.TEST,
+                                  max_batch=8, max_wait_ms=50,
+                                  mesh=mesh_arg)
+        server.warmup([(48, 40)])
+        try:
+            futs = [server.submit(im) for im in imgs]
+            return [f.result(timeout=300) for f in futs]
+        finally:
+            server.close()
+
+    single = run(None)
+    sharded = run(mesh)
+    for (m1, l1), (m8, l8) in zip(single, sharded):
+        np.testing.assert_allclose(m8, m1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(l8, l1)
+
+
+def test_server_mesh_requires_divisible_batch(model_vars):
+    _apply_cfg()
+    model, variables = model_vars
+    from wseg_tpu.parallel import make_mesh
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+    with pytest.raises(AssertionError):
+        MultiScaleServer(model, variables, cfg.TEST, max_batch=3,
+                         mesh=mesh)

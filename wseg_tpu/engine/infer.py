@@ -313,9 +313,17 @@ def finalize_device_merge(sum_map: np.ndarray, dst_window, size_hw,
 
 
 class InferenceEngine:
-    def __init__(self, model, variables, test_cfg):
+    def __init__(self, model, variables, test_cfg, mesh=None):
         self.model = model
         self.variables = variables
+        # data-parallel inference (reference infer_val.py:99): replicate
+        # params; bucket batches whose leading axis divides the mesh
+        # ``data`` axis shard over it (per-image view batches are small —
+        # the batched MultiScaleServer is the path that actually scales).
+        self.mesh = mesh
+        if mesh is not None:
+            from wseg_tpu.parallel.mesh import replicate
+            self.variables = replicate(mesh, variables)
         self.cfg = test_cfg
         method = str(test_cfg.METHOD)
         self.uint8 = (method == "multiscale" and
@@ -336,12 +344,23 @@ class InferenceEngine:
             raise NotImplementedError(f"Method {method} is unknown")
         self.method = method
 
+    def _put(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = int(self.mesh.shape["data"])
+        if int(np.shape(x)[0]) % n_data:
+            return x
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x),
+                              NamedSharding(self.mesh, spec))
+
     def _infer_batch(self, batch, pads_rows):
         """Dispatch one bucket batch (uint8 path passes pad windows)."""
         if self.uint8:
-            return self.infer(self.variables, batch,
+            return self.infer(self.variables, self._put(batch),
                               np.asarray(pads_rows, np.int32))
-        return self.infer(self.variables, batch)
+        return self.infer(self.variables, self._put(batch))
 
     def _forward_views(self, views: List[np.ndarray], pads=None):
         """Group same-shape views into batches; returns per-view

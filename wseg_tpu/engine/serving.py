@@ -33,10 +33,24 @@ from wseg_tpu.engine.train_loop import make_infer_fn
 
 class MultiScaleServer:
     def __init__(self, model, variables, test_cfg, max_batch: int = 4,
-                 max_wait_ms: float = 5.0, postprocess=None):
+                 max_wait_ms: float = 5.0, postprocess=None, mesh=None):
         self.model = model
         self.variables = variables
         self.cfg = test_cfg
+        # data-parallel inference (reference infer_val.py:99 wraps the
+        # infer model in nn.DataParallel): params replicate over the
+        # mesh, every slot/view-batched program's leading axis shards
+        # over ``data`` and XLA splits the convs per device.  Groups are
+        # always padded to max_batch, so shapes divide evenly.
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = int(mesh.shape["data"])
+            assert max_batch % n_data == 0, (
+                f"max_batch ({max_batch}) must be a multiple of the "
+                f"mesh data axis ({n_data}) so slot batches shard "
+                f"evenly")
+            from wseg_tpu.parallel.mesh import replicate
+            self.variables = replicate(mesh, variables)
         self.uint8 = bool(getattr(test_cfg, "UINT8_TRANSFER", False))
         self.infer = make_infer_fn(model, device_norm=self.uint8)
         self.views = MultiscaleViews(
@@ -96,8 +110,12 @@ class MultiScaleServer:
 
             from wseg_tpu.ops.view_gen import build_views_u8
             ch, cw = self.canvas_hw
-            canv = jnp.zeros((self.max_batch, ch, cw, 3), jnp.uint8)
-            wins = jnp.zeros((self.max_batch, 4), jnp.int32)
+            # warm with PRODUCTION shardings: the input sharding is
+            # part of the compiled-program key, so an unsharded warmup
+            # would not pre-compile the mesh path
+            canv = self._put(jnp.zeros((self.max_batch, ch, cw, 3),
+                                       jnp.uint8))
+            wins = self._put(jnp.zeros((self.max_batch, 4), jnp.int32))
             seen = set()
             pp_seen = set()
             # oversized images fall back to the host path (warmed below)
@@ -129,13 +147,13 @@ class MultiScaleServer:
                     pp_seen.add((mh, mw))
                     nc = int(cls.shape[-1]) + 1
                     dev = self.postprocess.dispatch_group(
-                        jnp.zeros((self.max_batch, mh, mw, nc),
-                                  jnp.float32),
+                        self._put(jnp.zeros(
+                            (self.max_batch, mh, mw, nc), jnp.float32)),
                         np.zeros((self.max_batch, nc - 1), np.float32),
                         np.tile(np.asarray([0, 0, mh, mw], np.int32),
                                 (self.max_batch, 1)),
-                        jnp.zeros((self.max_batch, mh, mw, 3),
-                                  jnp.uint8),
+                        self._put(jnp.zeros(
+                            (self.max_batch, mh, mw, 3), jnp.uint8)),
                         self.views.num_views)
                     np.asarray(jax.device_get(dev))
         seen = set()
@@ -149,11 +167,25 @@ class MultiScaleServer:
                 cls, masks = self._infer(dummy, np.zeros((cap, 4)))
                 np.asarray(jax.device_get(cls))
 
+    def _put(self, x):
+        """Shard a batched array's leading axis over the mesh ``data``
+        axis (no-op without a mesh or when the axis doesn't divide)."""
+        if self.mesh is None:
+            return x
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = int(self.mesh.shape["data"])
+        if int(np.shape(x)[0]) % n_data:
+            return x
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x),
+                              NamedSharding(self.mesh, spec))
+
     def _infer(self, batch, pads_rows):
         if self.uint8:
-            return self.infer(self.variables, batch,
+            return self.infer(self.variables, self._put(batch),
                               np.asarray(pads_rows, np.int32))
-        return self.infer(self.variables, batch)
+        return self.infer(self.variables, self._put(batch))
 
     def submit(self, image: Image.Image,
                gt_labels: Optional[np.ndarray] = None) -> Future:
@@ -293,8 +325,8 @@ class MultiScaleServer:
             owin[gi] = ow
             w, h = image.size
             per_image.append((None, pads, flips, (h, w)))
-        orig_dev = jnp.asarray(canv)
-        owin_dev = jnp.asarray(owin)
+        orig_dev = self._put(jnp.asarray(canv))
+        owin_dev = self._put(jnp.asarray(owin))
 
         vpi = 2 if self.views.flip else 1
         # partition by the full view-shape signature: same signature =>
@@ -312,13 +344,13 @@ class MultiScaleServer:
             dstwin = np.zeros((cap, 4), np.int32)
             for gi in gis:
                 dstwin[gi] = per_image[gi][1][0]
-            dst_dev = jnp.asarray(dstwin)
+            dst_dev = self._put(jnp.asarray(dstwin))
             total = None
             for si, shp in enumerate(shapes):
                 vwin = np.zeros((cap, 4), np.int32)
                 for gi in gis:
                     vwin[gi] = per_image[gi][1][si * vpi]
-                vw_dev = jnp.asarray(vwin)
+                vw_dev = self._put(jnp.asarray(vwin))
                 cls, part = self.infer_mv(
                     self.variables, orig_dev, owin_dev, vw_dev, dst_dev,
                     out_hw=tuple(shp), flip_pair=self.views.flip,
@@ -461,10 +493,11 @@ class MultiScaleServer:
             for shp, gis in subgroups.items():
                 pad_n = self.max_batch - len(gis)
                 rows = gis + [gis[0]] * pad_n
-                sm = jnp.stack([sums[gi] for gi in rows])
+                sm = self._put(jnp.stack([sums[gi] for gi in rows]))
                 lb = np.stack([labels_all[gi] for gi in rows])
                 wn = np.stack([per_image[gi][1][0] for gi in rows])
-                im = jnp.stack([per_image[gi][0][0] for gi in rows])
+                im = self._put(jnp.stack([per_image[gi][0][0]
+                                          for gi in rows]))
                 dev = self.postprocess.dispatch_group(
                     sm, lb, wn, im, self.views.num_views)
                 # don't pay fetch bytes for the padding rows
