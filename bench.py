@@ -150,7 +150,7 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
     cfg.TEST.SCALES = [1.0, 0.5, 1.5, 2.0]
     cfg.TEST.FLIP = True
     cfg.TEST.PAD_PER_SCALE = True
-    cfg.TEST.PAD_ALIGN = 128
+    cfg.TEST.PAD_ALIGN = 64
     cfg.TEST.USE_GT_LABELS = True
     cfg.TEST.DEVICE_MERGE = True
     cfg.TEST.UINT8_TRANSFER = True

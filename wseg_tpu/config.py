@@ -114,7 +114,11 @@ def _default_cfg() -> AttrDict:
     c.TEST.DEVICE_MERGE = True
     # TPU extension: round per-view pad sizes up to a multiple of this
     # (keeps XLA program count bounded and shapes MXU/VPU friendly).
-    c.TEST.PAD_ALIGN = 128
+    # 64 measured better than 128 on v5e (tools/bench_buckets.py r3:
+    # the 0.5x bucket of a 512x384 image drops 256^2 -> 192x256, 43.5
+    # -> 24.6 ms/16 views; whole-geometry forward 12.12 -> 12.87
+    # img/s) — stride-8 features stay MXU-tileable at multiples of 64.
+    c.TEST.PAD_ALIGN = 64
     # TPU extension: ship uint8 views and normalise + zero-pad on device
     # (byte-exact: PIL resize outputs uint8; 4x less host->device
     # traffic, which dominates on remote-attached chips).

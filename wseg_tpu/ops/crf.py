@@ -142,7 +142,7 @@ def crf_inference_jax(img, probs, t: int = 10,
                       sxy_bilateral: float = 80.0, srgb: float = 13.0,
                       compat_bilateral: float = 10.0, valid_mask=None,
                       dtype=None, bilateral_stride: int = 1,
-                      tap_spacing_div: float = 2.0):
+                      tap_spacing_div: float = 2.0, impl: str = "auto"):
     """Batched on-device mean-field CRF over NHWC probs.
 
     Same algorithm as :func:`crf_inference_np`, expressed with XLA ops
@@ -184,8 +184,25 @@ def crf_inference_jax(img, probs, t: int = 10,
     k1d = np.exp(-x1d * x1d / (2.0 * sxy_gaussian * sxy_gaussian))
     k1d_j = jnp.asarray(k1d)
 
+    # The Pallas gauss kernel (full-res rolls of a ~33 MB padded buffer
+    # per pass) measured SLOWER than the XLA slice-sum on v5e; only the
+    # bilateral tap sum benefits from the fused kernel.  ``impl``:
+    #   auto   — bilateral Pallas on TPU (when the block fits VMEM),
+    #            Gaussian always XLA slice-sum
+    #   xla    — force XLA for both
+    #   pallas — force Pallas for both (experiments only)
+    gauss_pallas = impl == "pallas"
+
     def gauss_filter(x):  # (B,H,W,C)
         x = x * valid_mask
+        if gauss_pallas:
+            # fused VMEM kernel: HBM sees x once instead of once per
+            # tap (ops/crf_pallas.py)
+            from wseg_tpu.ops.crf_pallas import gauss_blur_pallas
+            return gauss_blur_pallas(x, k1d, r)
+        # 13-tap separable slice-sum; a depthwise-conv formulation
+        # measured 3x SLOWER on v5e (feature_group_count=21 lowers to
+        # tiny grouped convs the MXU can't tile)
         xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)))
         acc = sum(k1d_j[i] * xp[:, i:i + H] for i in range(2 * r + 1))
         xp = jnp.pad(acc, ((0, 0), (0, 0), (r, r), (0, 0)))
@@ -232,26 +249,75 @@ def crf_inference_jax(img, probs, t: int = 10,
                      / (2.0 * srgb * srgb))
         colour_w.append((cw * vm_b).astype(dtype))
 
-    def bilateral_filter(x):
-        # x arrives pre-masked and in ``dtype``; per-tap colour weights
-        # already carry the valid mask
-        acc = jnp.zeros(x.shape, jnp.float32)
-        for k, (dy, dx) in enumerate(taps):
-            acc = acc + tap_sp[k] * (
-                colour_w[k] * shift(x, -dy, -dx)).astype(jnp.float32)
-        return acc
+    # Pallas fused tap sum on TPU (ops/crf_pallas.py): the XLA loop
+    # materialises a shifted copy per tap (~80 HBM round trips per
+    # iteration).  Falls back to XLA when the padded VMEM working set
+    # would be too large (full-res sxy=80 taps) or off-TPU.
+    pad_b = max(max(abs(dy), abs(dx)) for dy, dx in taps) if taps else 0
+    # padded Q is f32 in the kernel (Mosaic roll is 32-bit only)
+    vmem_est = (C * (Hb + 2 * pad_b) * (Wb + 2 * pad_b) * 4
+                + len(taps) * Hb * Wb * 2 + C * Hb * Wb * 8)
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"
+                   and vmem_est < 64 * 1024 * 1024))
+    if use_pallas:
+        from wseg_tpu.ops.crf_pallas import bilateral_message_pallas
+        wstack = jnp.concatenate(
+            [(tap_sp[k] * colour_w[k]).astype(dtype)
+             for k in range(len(taps))], axis=-1)
+
+        def bilateral_filter(x):
+            # note: shifts here are x(pos - d) like the XLA loop's
+            # shift(x, -dy, -dx); the kernel applies +d, so negate
+            return bilateral_message_pallas(
+                x, wstack, [(-dy, -dx) for dy, dx in taps])
+    else:
+        def bilateral_filter(x):
+            # x arrives pre-masked and in ``dtype``; per-tap colour
+            # weights already carry the valid mask
+            acc = jnp.zeros(x.shape, jnp.float32)
+            for k, (dy, dx) in enumerate(taps):
+                acc = acc + tap_sp[k] * (
+                    colour_w[k] * shift(x, -dy, -dx)).astype(jnp.float32)
+            return acc
 
     norm_g = jax.lax.rsqrt(jnp.maximum(gauss_filter(valid_mask), 1e-20))
     norm_b = jax.lax.rsqrt(jnp.maximum(
         bilateral_filter(vm_b.astype(dtype)), 1e-20))
 
     if s > 1:
+        def up2(x, axis):
+            """Exact 2x half-pixel bilinear upsample along ``axis`` as
+            elementwise interleaving: out[2i] = .25 x[i-1] + .75 x[i],
+            out[2i+1] = .75 x[i] + .25 x[i+1] (edge-clamped) — the
+            matmul-based resize at (S, H, W, C) inside the vmapped scan
+            exceeds the 16 MB scoped-vmem budget on TPU."""
+            prev = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                 jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1,
+                                      axis=axis)], axis)
+            nxt = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 1, None, axis=axis),
+                 jax.lax.slice_in_dim(x, x.shape[axis] - 1, None,
+                                      axis=axis)], axis)
+            even = 0.75 * x + 0.25 * prev
+            odd = 0.75 * x + 0.25 * nxt
+            st = jnp.stack([even, odd], axis=axis + 1)
+            shape = list(x.shape)
+            shape[axis] *= 2
+            return st.reshape(shape)
+
         from wseg_tpu.ops.resize import resize_bilinear
+
+        def upsample(qb):
+            if s == 2:
+                return up2(up2(qb, 1), 2)
+            return resize_bilinear(qb, (Hp, Wp), align_corners=False)
 
         def bilateral_msg(Q):
             Ql = down(Q * valid_mask) / denom
             qb = bilateral_filter((Ql * norm_b).astype(dtype)) * norm_b
-            up = resize_bilinear(qb, (Hp, Wp), align_corners=False)
+            up = upsample(qb)
             return up[:, :H, :W] * valid_mask
     else:
         def bilateral_msg(Q):
