@@ -41,17 +41,19 @@ def main():
     model = get_model(cfg.NET, num_classes=21)
     rng = jax.random.PRNGKey(0)
 
-    # per-scale pad buckets for a typical 500x375 VOC image
-    # (scale -> padded size rounded up to 128); serving batches 8 images'
-    # views per bucket program (measured on v5e: 9.1 img/s at batch 1,
-    # 11.8 at batch 4, 12.5 at batch 8)
+    # per-scale pad buckets for a typical 500x375 VOC image (scale ->
+    # padded size rounded up to TEST.PAD_ALIGN, the production default —
+    # 64 since r3; see tools/bench_buckets.py for the 128-vs-64 roofline);
+    # serving batches 8 images' views per bucket program (measured on
+    # v5e: 9.1 img/s at batch 1, 11.8 at batch 4, 12.5 at batch 8)
+    align = int(cfg.TEST.PAD_ALIGN)
     base_hw = (384, 512)
     scales = [1.0, 0.5, 1.5, 2.0]
     imgs_per_batch = 8
     buckets = []
     for s in scales:
-        h = int(np.ceil(base_hw[0] * s / 128) * 128)
-        w = int(np.ceil(base_hw[1] * s / 128) * 128)
+        h = int(np.ceil(base_hw[0] * s / align) * align)
+        w = int(np.ceil(base_hw[1] * s / align) * align)
         buckets.append((h, w))
 
     from wseg_tpu.engine.train_loop import init_test_variables
@@ -171,7 +173,9 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
         threshs, threshs, crf_iters=10, bg_pow=3.0,
         crf_dtype=str(cfg.TEST.CRF_DTYPE),
         crf_stride=int(cfg.TEST.CRF_STRIDE),
-        crf_tap_div=float(cfg.TEST.CRF_TAP_DIV))
+        crf_tap_div=float(cfg.TEST.CRF_TAP_DIV),
+        crf_full_stride=int(cfg.TEST.CRF_FULL_STRIDE),
+        crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
     server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8,
                               postprocess=pp)
     server.warmup([(512, 384)])
@@ -185,10 +189,13 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
         writes = deque()
         for i, (im, f) in enumerate(zip(imgs, futs)):
             res, labels = f.result()
-            image01 = np.asarray(im, np.float32) / 255.0
+            # writers run verbose=False (no vis overlay), so save_pred
+            # never touches the float image — pass None rather than
+            # paying a (H,W,3) f32 conversion per image on the 1-core
+            # host (infer_val.py converts only when it has a gt_mask)
             for t, wr in writers.items():
                 writes.append(pool.submit(
-                    wr.save_pred, f"bench_{i}.jpg", image01,
+                    wr.save_pred, f"bench_{i}.jpg", None,
                     res[t]["pred"], res[t].get("pred_crf")))
         while writes:
             writes.popleft().result()

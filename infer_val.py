@@ -132,7 +132,10 @@ def main(argv):
             bg_pow=float(cfg.TEST.BG_POW),
             crf_dtype=str(getattr(cfg.TEST, "CRF_DTYPE", "bfloat16")),
             crf_stride=int(getattr(cfg.TEST, "CRF_STRIDE", 1)),
-            crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)))
+            crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)),
+            crf_full_stride=int(getattr(cfg.TEST, "CRF_FULL_STRIDE", 1)),
+            crf_refine_iters=int(getattr(cfg.TEST, "CRF_REFINE_ITERS",
+                                         0)))
         # data-parallel inference over every available device (the
         # reference wraps the infer model in nn.DataParallel,
         # infer_val.py:99): slot batches shard over the mesh data axis
@@ -165,7 +168,10 @@ def main(argv):
         inflight = deque()
         for i, (img_path, mask_path) in enumerate(entries):
             image, gt_mask, gt_labels = read_entry(img_path, mask_path)
-            image01 = np.asarray(image, np.float32) / 255.0
+            # the float image is only touched by the vis-overlay branch
+            # (needs a gt_mask); skip the (H,W,3) f32 conversion otherwise
+            image01 = (np.asarray(image, np.float32) / 255.0
+                       if gt_mask is not None else None)
             fut = server.submit(image, gt_labels)
             inflight.append((i, fut, img_path, image01, gt_mask))
             while len(inflight) > 2 * int(cfg.TEST.BATCH_SIZE):

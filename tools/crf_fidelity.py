@@ -81,7 +81,7 @@ def miou(pred, gt, n_classes):
     return float(np.mean(ious))
 
 
-def main(n_scenes=8, t=10, seed=0):
+def main(n_scenes=8, t=10, seed=0, h=192, w=256):
     os.environ.setdefault("WSEG_PLATFORM", "cpu")
     import jax.numpy as jnp
 
@@ -96,13 +96,24 @@ def main(n_scenes=8, t=10, seed=0):
         "xla_bf16_s2_d4": dict(dtype=jnp.bfloat16, bilateral_stride=2,
                                tap_spacing_div=4.0),
         "xla_bf16_s4": dict(dtype=jnp.bfloat16, bilateral_stride=4),
+        "xla_bf16_fs2": dict(dtype=jnp.bfloat16, full_stride=2),
+        "xla_bf16_fs2_r1": dict(dtype=jnp.bfloat16, full_stride=2,
+                                bilateral_stride=2, refine_iters=1),
+        "xla_bf16_fs2_r2": dict(dtype=jnp.bfloat16, full_stride=2,
+                                bilateral_stride=2, refine_iters=2),
+        "xla_bf16_fs2_r3": dict(dtype=jnp.bfloat16, full_stride=2,
+                                bilateral_stride=2, refine_iters=3),
+        "xla_bf16_fs2_d4": dict(dtype=jnp.bfloat16, full_stride=2,
+                                tap_spacing_div=4.0),
+        "xla_f32_fs2_d4": dict(dtype=jnp.float32, full_stride=2,
+                               tap_spacing_div=4.0),
     }
     stats = {k: {"dis": [], "miou": []} for k in
              ["unary", "native", "numpy", *variants]}
     times = {k: 0.0 for k in ["native", "numpy", *variants]}
 
     for si in range(n_scenes):
-        img, probs, gt = make_scene(rng)
+        img, probs, gt = make_scene(rng, h=h, w=w)
         nc = probs.shape[-1]
         stats["unary"]["miou"].append(miou(np.argmax(probs, -1), gt, nc))
         stats["unary"]["dis"].append(np.nan)
@@ -145,4 +156,8 @@ def main(n_scenes=8, t=10, seed=0):
 
 
 if __name__ == "__main__":
-    main()
+    # args: [n_scenes] [h] [w]  (production merge canvas: 2 384 512)
+    a = sys.argv[1:]
+    main(n_scenes=int(a[0]) if a else 8,
+         h=int(a[1]) if len(a) > 1 else 192,
+         w=int(a[2]) if len(a) > 2 else 256)

@@ -139,6 +139,19 @@ def _default_cfg() -> AttrDict:
     # docs/PARITY.md.
     c.TEST.CRF_DTYPE = "bfloat16"
     c.TEST.CRF_STRIDE = 2
+    # CRF_FULL_STRIDE s > 1 runs the WHOLE mean field at (H/s, W/s)
+    # (one box downsample in, one bilinear upsample of the final Q out;
+    # both spatial sigmas divided by s — the reference crf_inference's
+    # ``scale_factor`` semantics, utils/dcrf.py:6-12).  Unlike
+    # CRF_STRIDE it also shrinks the fine-Gaussian / softmax / unary
+    # per-iteration traffic, the dominant device-CRF cost once the
+    # bilateral is strided.  1 = off; fidelity: tools/crf_fidelity.py.
+    c.TEST.CRF_FULL_STRIDE = 1
+    # with CRF_FULL_STRIDE > 1: run the LAST r iterations at full
+    # resolution seeded from the upsampled coarse Q (coarse-to-fine
+    # mean field) — restores boundary detail at r/t of the full-res
+    # per-iteration cost.
+    c.TEST.CRF_REFINE_ITERS = 2
     # bilateral tap-grid density (step = sxy / div).  2.0 with stride 2
     # is ~4x cheaper than the r2 default and slightly MORE faithful to
     # the exact lattice; 4.0 at stride 2 costs about the r2 default and

@@ -165,7 +165,8 @@ def make_infer_merge_fn(model):
 def _postprocess_one(sum_map, labels, window, img_u8, *, n_views,
                      bg_pow, threshs, crf_threshs, crf_iters,
                      crf_dtype="bfloat16", crf_stride=1,
-                     crf_tap_div=2.0):
+                     crf_tap_div=2.0, crf_full_stride=1,
+                     crf_refine_iters=0):
     """Writer math on device: clean -> BG^pow -> (CRF) -> threshold ->
     argmax, at the static merge-canvas shape.  Only (K, H, W) uint8 label
     maps cross the link (the merged score map is ~84x bigger).
@@ -197,33 +198,42 @@ def _postprocess_one(sum_map, labels, window, img_u8, *, n_views,
                               dtype={"bfloat16": jnp.bfloat16,
                                      "float32": jnp.float32}[crf_dtype],
                               bilateral_stride=int(crf_stride),
-                              tap_spacing_div=float(crf_tap_div))
+                              tap_spacing_div=float(crf_tap_div),
+                              full_stride=int(crf_full_stride),
+                              refine_iters=int(crf_refine_iters))
         preds += [pred(q[0], float(t)) for t in crf_threshs]
     return jnp.stack(preds)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters",
-    "crf_dtype", "crf_stride", "crf_tap_div"))
+    "crf_dtype", "crf_stride", "crf_tap_div", "crf_full_stride",
+    "crf_refine_iters"))
 def _device_postprocess_jit(sum_map, labels, window, img_u8, *, n_views,
                             bg_pow, threshs, crf_threshs, crf_iters,
                             crf_dtype="bfloat16", crf_stride=1,
-                            crf_tap_div=2.0):
+                            crf_tap_div=2.0, crf_full_stride=1,
+                            crf_refine_iters=0):
     return _postprocess_one(sum_map, labels, window, img_u8,
                             n_views=n_views, bg_pow=bg_pow,
                             threshs=threshs, crf_threshs=crf_threshs,
                             crf_iters=crf_iters, crf_dtype=crf_dtype,
                             crf_stride=crf_stride,
-                            crf_tap_div=crf_tap_div)
+                            crf_tap_div=crf_tap_div,
+                            crf_full_stride=crf_full_stride,
+                            crf_refine_iters=crf_refine_iters)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters",
-    "crf_dtype", "crf_stride", "crf_tap_div"))
+    "crf_dtype", "crf_stride", "crf_tap_div", "crf_full_stride",
+    "crf_refine_iters"))
 def _device_postprocess_group_jit(sum_maps, labels, windows, imgs_u8, *,
                                   n_views, bg_pow, threshs, crf_threshs,
                                   crf_iters, crf_dtype="bfloat16",
-                                  crf_stride=1, crf_tap_div=2.0):
+                                  crf_stride=1, crf_tap_div=2.0,
+                                  crf_full_stride=1,
+                                  crf_refine_iters=0):
     """Slot-batched writer math: ONE dispatch and ONE (S, K, H, W)
     uint8 fetch per serving group instead of S of each (each fetch pays
     the link round trip on remote-attached chips)."""
@@ -231,7 +241,8 @@ def _device_postprocess_group_jit(sum_maps, labels, windows, imgs_u8, *,
         s, l, w, i, n_views=n_views, bg_pow=bg_pow, threshs=threshs,
         crf_threshs=crf_threshs, crf_iters=crf_iters,
         crf_dtype=crf_dtype, crf_stride=crf_stride,
-        crf_tap_div=crf_tap_div))(
+        crf_tap_div=crf_tap_div, crf_full_stride=crf_full_stride,
+        crf_refine_iters=crf_refine_iters))(
         sum_maps, labels, windows, imgs_u8)
 
 
@@ -239,7 +250,9 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
                             bg_pow: float = 3.0,
                             crf_dtype: str = "bfloat16",
                             crf_stride: int = 1,
-                            crf_tap_div: float = 2.0):
+                            crf_tap_div: float = 2.0,
+                            crf_full_stride: int = 1,
+                            crf_refine_iters: int = 0):
     """Returns pp(sum_map, labels, window, img_u8_canvas, size_hw,
     n_views) -> dict thresh -> {"pred": (h,w) uint8, "pred_crf": ...}.
 
@@ -259,7 +272,9 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
             crf_threshs=crf_threshs, crf_iters=int(crf_iters),
             crf_dtype=str(crf_dtype), crf_stride=int(crf_stride),
-            crf_tap_div=float(crf_tap_div))
+            crf_tap_div=float(crf_tap_div),
+            crf_full_stride=int(crf_full_stride),
+            crf_refine_iters=int(crf_refine_iters))
 
     def finalize(preds_np, window, size_hw):
         pt, pl, vh, vw = window
@@ -281,7 +296,9 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
             crf_threshs=crf_threshs, crf_iters=int(crf_iters),
             crf_dtype=str(crf_dtype), crf_stride=int(crf_stride),
-            crf_tap_div=float(crf_tap_div))
+            crf_tap_div=float(crf_tap_div),
+            crf_full_stride=int(crf_full_stride),
+            crf_refine_iters=int(crf_refine_iters))
 
     def pp(sum_map, labels, window, img_u8, size_hw, n_views):
         preds = np.asarray(jax.device_get(

@@ -18,12 +18,12 @@ from wseg_tpu.data.pascal_voc import get_palette
 
 
 def _save_indexed_png(path: str, mask: np.ndarray):
-    im = Image.fromarray(mask.astype(np.uint8), mode="P")
-    im.putpalette(get_palette())
-    # zlib level 1: ~4x faster PNG encode than PIL's default 6 for a few
-    # percent larger files — the encode runs on the host CPU, which is
-    # the e2e inference bottleneck once the device path is pipelined
-    im.save(path, compress_level=1)
+    # single-pass RLE-deflate encoder (utils/fastpng.py, native C when
+    # built): ~7x faster than PIL at compress_level=1 — the encode runs
+    # on the host CPU, which is the e2e inference bottleneck once the
+    # device path is pipelined
+    from wseg_tpu.utils.fastpng import write_indexed_png
+    write_indexed_png(path, np.asarray(mask, np.uint8), get_palette())
 
 
 def _mask2rgb(mask: np.ndarray) -> np.ndarray:

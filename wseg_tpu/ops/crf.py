@@ -142,7 +142,9 @@ def crf_inference_jax(img, probs, t: int = 10,
                       sxy_bilateral: float = 80.0, srgb: float = 13.0,
                       compat_bilateral: float = 10.0, valid_mask=None,
                       dtype=None, bilateral_stride: int = 1,
-                      tap_spacing_div: float = 2.0, impl: str = "auto"):
+                      tap_spacing_div: float = 2.0, impl: str = "auto",
+                      full_stride: int = 1, refine_iters: int = 0,
+                      q_init=None):
     """Batched on-device mean-field CRF over NHWC probs.
 
     Same algorithm as :func:`crf_inference_np`, expressed with XLA ops
@@ -166,6 +168,24 @@ def crf_inference_jax(img, probs, t: int = 10,
     full-resolution div=2.0 grid and tracks the exact permutohedral
     lattice closest (argmax disagreement ~1.2%, tools/crf_fidelity.py).
     Accuracy bounds: tools/crf_fidelity.py + docs/PARITY.md.
+
+    ``full_stride`` s > 1 runs the mean field on the (H/s, W/s) grid —
+    inputs box-downsampled once, both spatial sigmas divided by s (the
+    reference crf_inference's ``scale_factor`` semantics,
+    utils/dcrf.py:6-12), one bilinear upsample of the final Q.  Unlike
+    ``bilateral_stride`` this also shrinks the fine Gaussian kernel and
+    the per-iteration softmax/unary traffic, which dominate the device
+    CRF once the bilateral message is strided.
+
+    ``refine_iters`` r > 0 (with full_stride > 1) makes the schedule
+    coarse-to-fine: t - r iterations at (H/s, W/s), then r final
+    iterations at full resolution (full-res unary, stride-s bilateral
+    message) seeded from the upsampled coarse Q — restores the boundary
+    detail the coarse grid loses at a fraction of the all-full-res cost
+    (per-iteration full-res traffic only for the last r iterations).
+
+    ``q_init`` optionally seeds the mean field with a (B, H, W, C)
+    distribution instead of ``probs`` (the unary stays -log probs).
     """
     import jax
     import jax.numpy as jnp
@@ -174,6 +194,48 @@ def crf_inference_jax(img, probs, t: int = 10,
         dtype = jnp.float32
 
     B, H, W, C = probs.shape
+
+    fs = int(full_stride)
+    if fs > 1:
+        Hp_, Wp_ = -(-H // fs) * fs, -(-W // fs) * fs
+        if valid_mask is None:
+            valid_mask = jnp.ones((B, H, W, 1), jnp.float32)
+
+        def _down(x):
+            xp = jnp.pad(x, ((0, 0), (0, Hp_ - H), (0, Wp_ - W),
+                             (0, 0)))
+            return xp.reshape(B, Hp_ // fs, fs, Wp_ // fs, fs,
+                              x.shape[-1]).mean(axis=(2, 4))
+
+        vm_s = _down(valid_mask)
+        den = jnp.maximum(vm_s, 1e-8)
+        img_s = _down(img.astype(jnp.float32) * valid_mask) / den
+        probs_s = _down(probs.astype(jnp.float32) * valid_mask) / den
+        probs_s = probs_s / jnp.maximum(
+            probs_s.sum(-1, keepdims=True), 1e-8)
+        r = min(int(refine_iters), t)
+        q = crf_inference_jax(
+            img_s, probs_s, t=t - r,
+            sxy_gaussian=sxy_gaussian / fs,
+            compat_gaussian=compat_gaussian,
+            sxy_bilateral=sxy_bilateral / fs, srgb=srgb,
+            compat_bilateral=compat_bilateral,
+            valid_mask=(vm_s > 0.0).astype(jnp.float32), dtype=dtype,
+            bilateral_stride=max(1, int(bilateral_stride) // fs),
+            tap_spacing_div=tap_spacing_div, impl=impl)
+        from wseg_tpu.ops.resize import resize_bilinear
+        up = resize_bilinear(q, (Hp_, Wp_), align_corners=False)
+        up = up[:, :H, :W] * valid_mask
+        if r == 0:
+            return up
+        up = up / jnp.maximum(up.sum(-1, keepdims=True), 1e-8)
+        return crf_inference_jax(
+            img, probs, t=r, sxy_gaussian=sxy_gaussian,
+            compat_gaussian=compat_gaussian,
+            sxy_bilateral=sxy_bilateral, srgb=srgb,
+            compat_bilateral=compat_bilateral, valid_mask=valid_mask,
+            dtype=dtype, bilateral_stride=bilateral_stride,
+            tap_spacing_div=tap_spacing_div, impl=impl, q_init=up)
     img_f = img.astype(jnp.float32)
     if valid_mask is None:
         valid_mask = jnp.ones((B, H, W, 1), jnp.float32)
@@ -254,12 +316,19 @@ def crf_inference_jax(img, probs, t: int = 10,
     # iteration).  Falls back to XLA when the padded VMEM working set
     # would be too large (full-res sxy=80 taps) or off-TPU.
     pad_b = max(max(abs(dy), abs(dx)) for dy, dx in taps) if taps else 0
-    # padded Q is f32 in the kernel (Mosaic roll is 32-bit only)
-    vmem_est = (C * (Hb + 2 * pad_b) * (Wb + 2 * pad_b) * 4
-                + len(taps) * Hb * Wb * 2 + C * Hb * Wb * 8)
+    # kernel VMEM model (ops/crf_pallas.py, per batch slot): padded Q is
+    # f32 (Mosaic roll is 32-bit only), tap weights bf16, f32 out; the
+    # pipeline double-buffers every block across grid steps, plus one
+    # padded-plane roll temporary.  Must stay under the kernel's 100 MB
+    # vmem_limit_bytes or Mosaic fails at compile time (observed with
+    # the 288-tap div-4 grid: 113 MB requested).
+    qp_b = C * (Hb + 2 * pad_b) * (Wb + 2 * pad_b) * 4
+    w_b = len(taps) * Hb * Wb * 2
+    out_b = C * Hb * Wb * 4
+    vmem_est = 2 * (qp_b + w_b + out_b) + qp_b
     use_pallas = (impl == "pallas" or
                   (impl == "auto" and jax.default_backend() == "tpu"
-                   and vmem_est < 64 * 1024 * 1024))
+                   and vmem_est < 90 * 1024 * 1024))
     if use_pallas:
         from wseg_tpu.ops.crf_pallas import bilateral_message_pallas
         wstack = jnp.concatenate(
@@ -334,6 +403,6 @@ def crf_inference_jax(img, probs, t: int = 10,
         Q = jax.nn.softmax(-unary + msg, axis=-1)
         return Q, None
 
-    Q0 = probs.astype(jnp.float32)
+    Q0 = (q_init if q_init is not None else probs).astype(jnp.float32)
     Q, _ = jax.lax.scan(body, Q0, None, length=t)
     return Q
