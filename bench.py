@@ -131,10 +131,14 @@ def main():
     print(json.dumps(result), flush=True)
 
 
-def bench_e2e(model, variables, n_images: int = 16) -> float:
+def bench_e2e(model, variables, n_images: int = 96) -> float:
     """images/sec through the complete infer_val path (reference
     infer_val.py:112-143 + utils/inference_tools.py:61-126): multi-scale
-    batched forward -> device merge -> CRF -> thresholded PNG writes."""
+    batched forward -> device merge -> CRF -> thresholded PNG writes.
+
+    96 images (6 groups of 16) so pipeline fill/drain amortises the way
+    it does in a real 1449-image val run; segment attribution lives in
+    tools/bench_e2e_segments.py."""
     import shutil
     import tempfile
     import time as _time
@@ -176,7 +180,7 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
         crf_tap_div=float(cfg.TEST.CRF_TAP_DIV),
         crf_full_stride=int(cfg.TEST.CRF_FULL_STRIDE),
         crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
-    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8,
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=16,
                               postprocess=pp)
     server.warmup([(512, 384)])
     writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
@@ -184,19 +188,19 @@ def bench_e2e(model, variables, n_images: int = 16) -> float:
                for t in threshs}
     pool = ThreadPoolExecutor(8)
 
+    def write_all(res, i):
+        # one pool task per image (4 PNG files): verbose=False writers
+        # never touch the float image, so None is passed for it
+        for t, wr in writers.items():
+            wr.save_pred(f"bench_{i}.jpg", None, res[t]["pred"],
+                         res[t].get("pred_crf"))
+
     def run(imgs):
         futs = [server.submit(im, gt) for im in imgs]
         writes = deque()
         for i, (im, f) in enumerate(zip(imgs, futs)):
             res, labels = f.result()
-            # writers run verbose=False (no vis overlay), so save_pred
-            # never touches the float image — pass None rather than
-            # paying a (H,W,3) f32 conversion per image on the 1-core
-            # host (infer_val.py converts only when it has a gt_mask)
-            for t, wr in writers.items():
-                writes.append(pool.submit(
-                    wr.save_pred, f"bench_{i}.jpg", None,
-                    res[t]["pred"], res[t].get("pred_crf")))
+            writes.append(pool.submit(write_all, res, i))
         while writes:
             writes.popleft().result()
 

@@ -57,6 +57,30 @@ def test_serving_default_tracks_exact_crf(scene, exact_map):
     assert mi > mi_exact - 0.03, (mi, mi_exact)
 
 
+def test_serving_default_coarse_to_fine(scene, exact_map):
+    """The r3 serving default: CRF_FULL_STRIDE=2 + CRF_REFINE_ITERS=1
+    (9 mean-field iterations at H/2 x W/2 + 1 full-res refine seeded
+    from the upsampled coarse Q).  Measured 2026-08 at 384x512: dis
+    0.95%, mIoU 0.9818 vs exact 0.9922, unary 0.9204 — closer to the
+    exact lattice than the previous stride-2-bilateral default at 3.4x
+    less device time (tools/bench_postprocess.py)."""
+    dis, mi, mi_exact, mi_unary = _run_variant(
+        scene, exact_map, dtype=jnp.bfloat16, bilateral_stride=2,
+        full_stride=2, refine_iters=1)
+    assert dis < 0.02, dis
+    assert mi > mi_unary + 0.02, (mi, mi_unary)  # CRF gain preserved
+    assert mi > mi_exact - 0.03, (mi, mi_exact)
+
+
+def test_coarse_only_full_stride(scene, exact_map):
+    """CRF_FULL_STRIDE=2 without refine iterations: cheapest variant,
+    bounded but measurably looser at boundaries (dis ~1.4%)."""
+    dis, mi, mi_exact, mi_unary = _run_variant(
+        scene, exact_map, dtype=jnp.bfloat16, full_stride=2)
+    assert dis < 0.03, dis
+    assert mi > mi_unary + 0.02, (mi, mi_unary)
+
+
 def test_parity_grade_tap_div4(scene, exact_map):
     """TEST.CRF_TAP_DIV=4 at stride 2 (parity-grade config)."""
     dis, mi, mi_exact, _ = _run_variant(

@@ -82,7 +82,8 @@ def run_mode(model, variables, *, crf: bool, png: bool,
         crf_tap_div=float(cfg.TEST.CRF_TAP_DIV),
         crf_full_stride=int(cfg.TEST.CRF_FULL_STRIDE),
         crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
-    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=8,
+    mb = int(os.environ.get("WSEG_BENCH_MB", "8"))
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=mb,
                               postprocess=pp)
     server.warmup([(512, 384)])
     writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
@@ -116,23 +117,31 @@ def run_mode(model, variables, *, crf: bool, png: bool,
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    only = os.environ.get("WSEG_BENCH_MODES", "").split(",")
+    only = [m for m in only if m]
     model, variables = setup()
     out = {}
     for name, crf, png in [("no_crf_png", False, False),
                            ("no_png", True, False),
                            ("no_crf", False, True),
                            ("full", True, True)]:
+        if only and name not in only:
+            continue
         ips = run_mode(model, variables, crf=crf, png=png, n_images=n)
         out[name] = round(ips, 3)
         print(f"{name}: {ips:.3f} img/s "
               f"({1000.0 / ips:.1f} ms/img)", flush=True)
     ms = {k: 1000.0 / v for k, v in out.items()}
-    print(json.dumps({
+    summary = {
         "img_per_sec": out,
         "ms_per_img": {k: round(v, 1) for k, v in ms.items()},
-        "crf_ms_per_img": round(ms["no_png"] - ms["no_crf_png"], 1),
-        "png_ms_per_img": round(ms["full"] - ms["no_png"], 1),
-    }), flush=True)
+    }
+    if "no_png" in ms and "no_crf_png" in ms:
+        summary["crf_ms_per_img"] = round(ms["no_png"] - ms["no_crf_png"],
+                                          1)
+    if "full" in ms and "no_png" in ms:
+        summary["png_ms_per_img"] = round(ms["full"] - ms["no_png"], 1)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -146,12 +146,18 @@ def _default_cfg() -> AttrDict:
     # CRF_STRIDE it also shrinks the fine-Gaussian / softmax / unary
     # per-iteration traffic, the dominant device-CRF cost once the
     # bilateral is strided.  1 = off; fidelity: tools/crf_fidelity.py.
-    c.TEST.CRF_FULL_STRIDE = 1
+    c.TEST.CRF_FULL_STRIDE = 2
     # with CRF_FULL_STRIDE > 1: run the LAST r iterations at full
     # resolution seeded from the upsampled coarse Q (coarse-to-fine
-    # mean field) — restores boundary detail at r/t of the full-res
-    # per-iteration cost.
-    c.TEST.CRF_REFINE_ITERS = 2
+    # mean field) — restores the boundary detail the coarse grid loses
+    # at r/t of the full-res per-iteration cost.  The r3 default
+    # (FULL_STRIDE 2 + 1 refine iteration) is BOTH 3.4x faster than the
+    # previous stride-2-bilateral default (5.2 vs 17.6 ms/img device
+    # time at the 384x512 canvas) and closer to the exact permutohedral
+    # CRF (argmax deviation 0.95% vs 0.97%, mIoU-vs-GT 0.9818 vs 0.9809
+    # on production-size scenes; native exact = 0.9922,
+    # tools/crf_fidelity.py).
+    c.TEST.CRF_REFINE_ITERS = 1
     # bilateral tap-grid density (step = sxy / div).  2.0 with stride 2
     # is ~4x cheaper than the r2 default and slightly MORE faithful to
     # the exact lattice; 4.0 at stride 2 costs about the r2 default and

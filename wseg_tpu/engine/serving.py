@@ -307,10 +307,20 @@ class MultiScaleServer:
         resize / flip / pad (ops/view_gen.py), forward, merge and writer
         math all run on device.  ~num_views less host->device traffic
         and no host PIL resizes — both bind e2e throughput on
-        remote-attached chips."""
+        remote-attached chips.
+
+        WSEG_DEBUG_SERVING=1 prints per-group phase times (host canvas
+        build / upload / dispatch on the worker; fetch / finalise on
+        the finisher)."""
+        import os
+        import time as _time
+
         import jax.numpy as jnp
 
         from wseg_tpu.ops.view_gen import build_views_u8
+
+        dbg = bool(os.environ.get("WSEG_DEBUG_SERVING"))
+        t0 = _time.perf_counter()
 
         cap = self.max_batch
         n = len(group)
@@ -325,8 +335,10 @@ class MultiScaleServer:
             owin[gi] = ow
             w, h = image.size
             per_image.append((None, pads, flips, (h, w)))
+        t1 = _time.perf_counter()
         orig_dev = self._put(jnp.asarray(canv))
         owin_dev = self._put(jnp.asarray(owin))
+        t2 = _time.perf_counter()
 
         vpi = 2 if self.views.flip else 1
         # partition by the full view-shape signature: same signature =>
@@ -337,15 +349,20 @@ class MultiScaleServer:
             sig.setdefault(tuple(self.views.view_shapes(w, h)),
                            []).append(gi)
 
-        sums = [None] * n
+        # sums and the scale-1.0 pixels stay SLOT-BATCHED (cap, ...) all
+        # the way into the postprocess dispatch: the earlier per-image
+        # slice + re-stack pattern cost ~18 extra device dispatches per
+        # group, and each dispatch enqueue pays a link round trip on
+        # remote-attached chips (tools/bench_postprocess.py header)
+        sig_batches = []  # (gis, merge_hw, total (cap,mh,mw,C), u8|None)
         cls_calls = []  # (cls (cap*vpi, C-1) device, gis, si)
-        scale1_u8 = {}
         for shapes, gis in sig.items():
             dstwin = np.zeros((cap, 4), np.int32)
             for gi in gis:
                 dstwin[gi] = per_image[gi][1][0]
             dst_dev = self._put(jnp.asarray(dstwin))
             total = None
+            u8 = None
             for si, shp in enumerate(shapes):
                 vwin = np.zeros((cap, 4), np.int32)
                 for gi in gis:
@@ -363,21 +380,47 @@ class MultiScaleServer:
                     u8 = build_views_u8(orig_dev, owin_dev, vw_dev,
                                         out_hw=tuple(shp),
                                         flip_pair=False)
-                    for gi in gis:
-                        scale1_u8[gi] = u8[gi]
-            for gi in gis:
-                sums[gi] = total[gi]
+            sig_batches.append((gis, tuple(shapes[0]), total, u8))
+        t3 = _time.perf_counter()
 
-        per_image = [
-            ({0: scale1_u8.get(gi)}, pads, flips, size_hw)
-            for gi, (_, pads, flips, size_hw) in enumerate(per_image)]
+        # everything device-side is dispatched before any fetch; with GT
+        # labels the postprocess dispatch happens HERE on the worker too
+        # (the finisher is still fetching the previous group when the
+        # device finishes this one's forwards — dispatching from there
+        # left a measured ~200 ms device idle gap per few groups).
+        # Fetches + finalisation run on the finisher thread so the
+        # worker can start the next group immediately.
+        use_gt = (bool(self.cfg.USE_GT_LABELS)
+                  and all(g[1] is not None for g in group))
+        if use_gt and self.postprocess is not None:
+            labels_all = [g[1].astype(np.float32) for g in group]
+            pending = self._dispatch_postprocess(per_image, sig_batches,
+                                                 labels_all)
+            t4 = _time.perf_counter()
+            if dbg:
+                print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
+                      f"{1e3*(t2-t1):.0f} dispatch {1e3*(t3-t2):.0f} pp "
+                      f"{1e3*(t4-t3):.0f} ms", flush=True)
 
-        # everything device-side is dispatched; fetches + finalisation
-        # run on the finisher thread so the worker can start the next
-        # group's dispatches immediately
+            def finish():
+                tf0 = _time.perf_counter()
+                self._finalize_postprocess(group, per_image, pending,
+                                           labels_all)
+                if dbg:
+                    print(f"[serving] n={n} finish "
+                          f"{1e3*(_time.perf_counter()-tf0):.0f} ms",
+                          flush=True)
+
+            self._submit_finish(group, finish)
+            return
+        if dbg:
+            print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
+                  f"{1e3*(t2-t1):.0f} dispatch {1e3*(t3-t2):.0f} ms",
+                  flush=True)
+
         def finish():
-            use_gt = bool(self.cfg.USE_GT_LABELS)
-            if use_gt and all(g[1] is not None for g in group):
+            tf0 = _time.perf_counter()
+            if use_gt:
                 labels_all = [g[1].astype(np.float32) for g in group]
             else:
                 cls_np = jax.device_get([c for c, _, _ in cls_calls])
@@ -392,7 +435,12 @@ class MultiScaleServer:
                 labels_all = [
                     self._labels(per_view_cls[gi], group[gi][1])
                     for gi in range(n)]
-            self._resolve(group, per_image, sums, labels_all)
+            self._resolve_batched(group, per_image, sig_batches,
+                                  labels_all)
+            if dbg:
+                print(f"[serving] n={n} finish "
+                      f"{1e3*(_time.perf_counter()-tf0):.0f} ms",
+                      flush=True)
 
         self._submit_finish(group, finish)
 
@@ -517,3 +565,66 @@ class MultiScaleServer:
                 sums[gi], pads[0], size_hw, labels_all[gi],
                 self.views.num_views, float(self.cfg.BG_POW))
             fut.set_result((merged, labels_all[gi]))
+
+    def _resolve_batched(self, group, per_image, sig_batches,
+                         labels_all):
+        """Writer math + future resolution for the device-views path:
+        sums/pixels arrive SLOT-BATCHED per view-shape signature, so each
+        signature costs exactly one postprocess dispatch and one fetch —
+        no per-image slice/stack dispatches (each enqueue pays a link
+        round trip on remote-attached chips).  Rows outside ``gis`` are
+        padding (zero canvas / zero labels); their outputs are ignored.
+        """
+        import jax.numpy as jnp
+
+        from wseg_tpu.engine.infer import finalize_device_merge
+
+        if self.postprocess is None:
+            for gis, _, total, _ in sig_batches:
+                for gi in gis:
+                    _, pads, _, size_hw = per_image[gi]
+                    merged = finalize_device_merge(
+                        total[gi], pads[0], size_hw, labels_all[gi],
+                        self.views.num_views, float(self.cfg.BG_POW))
+                    group[gi][2].set_result((merged, labels_all[gi]))
+            return
+
+        pending = self._dispatch_postprocess(per_image, sig_batches,
+                                             labels_all)
+        self._finalize_postprocess(group, per_image, pending, labels_all)
+
+    def _dispatch_postprocess(self, per_image, sig_batches, labels_all):
+        """One postprocess dispatch per view-shape signature; returns
+        [(gis, row-map, device preds)] WITHOUT fetching."""
+        import jax.numpy as jnp
+
+        nc1 = len(labels_all[0])
+        pending = []
+        for gis, _, total, u8 in sig_batches:
+            cap = total.shape[0]
+            lb = np.zeros((cap, nc1), np.float32)
+            wn = np.zeros((cap, 4), np.int32)
+            for gi in gis:
+                lb[gi] = labels_all[gi]
+                wn[gi] = per_image[gi][1][0]
+            dev = self.postprocess.dispatch_group(
+                total, lb, wn, u8, self.views.num_views)
+            if len(gis) * 2 <= cap:
+                # sparse signature: gather the live rows on device
+                # rather than paying fetch bytes for the padding
+                dev = dev[jnp.asarray(gis)]
+                rows = {gi: k for k, gi in enumerate(gis)}
+            else:
+                rows = {gi: gi for gi in gis}
+            pending.append((gis, rows, dev))
+        return pending
+
+    def _finalize_postprocess(self, group, per_image, pending,
+                              labels_all):
+        for gis, rows, dev in pending:
+            preds = np.asarray(jax.device_get(dev))
+            for gi in gis:
+                _, pads, _, size_hw = per_image[gi]
+                res = self.postprocess.finalize(
+                    preds[rows[gi]], pads[0], size_hw)
+                group[gi][2].set_result((res, labels_all[gi]))
