@@ -16,9 +16,14 @@ program runs chained through a checksum and fetch ONE scalar.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 V5E_BF16_PEAK = 394e12 / 2  # 197 TFLOP/s per chip
 
@@ -101,11 +106,16 @@ def main():
 
     base_hw = (384, 512)
     scales = [1.0, 0.5, 1.5, 2.0]
-    imgs = 8
+    # WSEG_BUCKET_IMGS: images per batch (2x views with flip); 16 checks
+    # whether the serving-batch-16 path lifts per-bucket MXU.
+    # WSEG_BUCKET_ALIGNS: comma list (default "128,64").
+    imgs = int(os.environ.get("WSEG_BUCKET_IMGS", "8"))
+    aligns = tuple(int(a) for a in os.environ.get(
+        "WSEG_BUCKET_ALIGNS", "128,64").split(","))
     host = np.random.RandomState(0)
 
     results = {}
-    for align in (128, 64):
+    for align in aligns:
         total_t = 0.0
         total_f = 0.0
         per = {}
