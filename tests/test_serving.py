@@ -88,6 +88,44 @@ def test_server_mixed_sizes(model_vars, rng_np):
         server.close()
 
 
+def test_server_groups_by_signature(model_vars, rng_np):
+    """Size-aware batching: an interleaved mixed-size stream must be
+    re-grouped so every processed group has ONE view-shape signature
+    (mixed groups fragment the slot batch into half-empty programs),
+    with all futures still resolving correctly."""
+    _apply_cfg()
+    cfg.TEST.SCALES = [1.0]
+    cfg.TEST.FLIP = False
+    model, variables = model_vars
+    server = MultiScaleServer(model, variables, cfg.TEST, max_batch=4,
+                              max_wait_ms=200)
+    groups_seen = []
+    orig = server._process
+
+    def spy(group):
+        groups_seen.append([g[0].size for g in group])
+        return orig(group)
+
+    server._process = spy
+    server.warmup([(48, 40), (64, 40)])
+    try:
+        # interleave two PAD-BUCKET signatures ((48,48) vs (48,64) at
+        # align 16 — note (40,48) and (48,40) pad to the SAME bucket);
+        # grouping should unzip the stream
+        sizes = [(40, 48), (40, 64)] * 4
+        futures = [server.submit(Image.fromarray(
+            (rng_np.rand(h, w, 3) * 255).astype(np.uint8)))
+            for h, w in sizes]
+        for (h, w), f in zip(sizes, futures):
+            merged, labels = f.result(timeout=300)
+            assert merged.shape == (h, w, 21)
+    finally:
+        server.close()
+    for grp in groups_seen:
+        assert len(set(grp)) == 1, groups_seen
+    assert sum(len(g) for g in groups_seen) == len(sizes)
+
+
 def test_server_device_views_close_to_host_views(model_vars, rng_np):
     """DEVICE_VIEWS (one original upload, resize/flip/pad on device)
     must agree with the host-PIL view path up to the documented ~LSB

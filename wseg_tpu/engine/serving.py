@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Tuple
 
@@ -86,6 +87,7 @@ class MultiScaleServer:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        self._stash = deque()  # different-signature arrivals, oldest first
         self._stop = threading.Event()
         # single finisher thread: fetches + finalisation of group N
         # overlap the device dispatches of group N+1 (FIFO, so result
@@ -201,25 +203,58 @@ class MultiScaleServer:
         self._finisher.shutdown(wait=True)
 
     # ---------------------------------------------------------- worker
+    def _group_sig(self, image):
+        """Batching signature: images with the same signature share
+        every compiled program of a group (canvas, buckets, merge
+        shape).  A 500x375 and a 375x500 VOC image have different
+        signatures — batching them together fragments the slot batch
+        into two half-empty programs."""
+        if not hasattr(self.views, "view_shapes"):
+            return None
+        w, h = image.size
+        return tuple(self.views.view_shapes(w, h))
+
     def _collect_group(self):
-        item = self._q.get()
+        """Collect up to ``max_batch`` SAME-SIGNATURE images within the
+        wait window.  Different-signature arrivals are stashed (arrival
+        order preserved) and served first on the next call, so the
+        oldest unprocessed image always defines the next group's
+        signature — no starvation, bounded reordering."""
+        import time
+
+        def pop(timeout=None):
+            if self._stash:
+                return self._stash.popleft()
+            if timeout is None:
+                return self._q.get()
+            return self._q.get(timeout=timeout)
+
+        item = pop()
         if item is None:
             return []
         group = [item]
-        import time
+        sig0 = self._group_sig(item[0])
+        misfits = []
         deadline = time.time() + self.max_wait
         while len(group) < self.max_batch:
             timeout = deadline - time.time()
             if timeout <= 0:
                 break
             try:
-                nxt = self._q.get(timeout=timeout)
+                nxt = pop(timeout=timeout)
             except queue.Empty:
                 break
             if nxt is None:
                 self._q.put(None)
                 break
-            group.append(nxt)
+            if self._group_sig(nxt[0]) == sig0:
+                group.append(nxt)
+            else:
+                misfits.append(nxt)
+        if misfits:
+            # misfits were popped before anything still stashed/queued
+            misfits.extend(self._stash)
+            self._stash = deque(misfits)
         return group
 
     def _run(self):
