@@ -86,6 +86,48 @@ def test_device_postprocess_matches_host_writer_math():
     assert crf_pred.max() <= 20
 
 
+def test_device_postprocess_coarse_to_fine_crf():
+    """The r3 serving default (CRF_FULL_STRIDE=2 + 1 refine iteration)
+    through the server: non-CRF preds still match host writer math and
+    the coarse-to-fine CRF pred is a valid label map that overlaps the
+    full-resolution device CRF.  The agreement bound here is loose —
+    this scene is a 60x80 random-noise image, squarely in the
+    documented small-image regime where the sxy=80 kernel spans the
+    frame (docs/PARITY.md); the production-size accuracy bound (0.95%
+    argmax deviation at 384x512) is pinned by
+    tests/test_crf_fidelity.py::test_serving_default_coarse_to_fine."""
+    model, variables = _setup(uint8=True)
+    cfg.TEST.DEVICE_MERGE = True
+    img = _image(7)
+    gt = np.ones(20, np.float32)
+
+    eng = InferenceEngine(model, variables, cfg.TEST)
+    merged, labels = eng.run_image(img, gt)
+    want = threshold_and_argmax(merged, 0.0)
+
+    def run_server(**crf_kw):
+        pp = make_device_postprocess((0.0,), (0.0,), crf_iters=3,
+                                     bg_pow=float(cfg.TEST.BG_POW),
+                                     **crf_kw)
+        srv = MultiScaleServer(model, variables, cfg.TEST, max_batch=2,
+                               postprocess=pp)
+        try:
+            res, _ = srv.submit(img, gt).result(timeout=300)
+        finally:
+            srv.close()
+        return res
+
+    res_cf = run_server(crf_full_stride=2, crf_refine_iters=1,
+                        crf_stride=2)
+    res_full = run_server()
+    agree_plain = (res_cf[0.0]["pred"] == want).mean()
+    assert agree_plain > 0.999, agree_plain
+    cf = res_cf[0.0]["pred_crf"]
+    assert cf.dtype == np.uint8 and cf.max() <= 20
+    agree_crf = (cf == res_full[0.0]["pred_crf"]).mean()
+    assert agree_crf > 0.5, agree_crf
+
+
 def test_server_uint8_merged_matches_engine():
     """Without postprocess, the uint8 server still returns merged maps
     that match the per-image engine."""
