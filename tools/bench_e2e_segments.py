@@ -68,9 +68,16 @@ def run_mode(model, variables, *, crf: bool, png: bool,
 
     out_dir = tempfile.mkdtemp(prefix="wseg_seg_")
     rng = np.random.RandomState(0)
+    # WSEG_BENCH_GEOM=mixed interleaves landscape/portrait (VOC is
+    # roughly half 500x375 and half 375x500) — exercises size-aware
+    # batching; default is the uniform bench geometry
+    if os.environ.get("WSEG_BENCH_GEOM", "") == "mixed":
+        hws = [(384, 512), (512, 384)]
+    else:
+        hws = [(384, 512)]
     images = [Image.fromarray(
-        (rng.rand(384, 512, 3) * 255).astype(np.uint8))
-        for _ in range(n_images)]
+        (rng.rand(*hws[i % len(hws)], 3) * 255).astype(np.uint8))
+        for i in range(n_images)]
     gt = np.zeros(20, np.float32)
     gt[[3, 8]] = 1.0
 
@@ -85,7 +92,7 @@ def run_mode(model, variables, *, crf: bool, png: bool,
     mb = int(os.environ.get("WSEG_BENCH_MB", "8"))
     server = MultiScaleServer(model, variables, cfg.TEST, max_batch=mb,
                               postprocess=pp)
-    server.warmup([(512, 384)])
+    server.warmup([(w, h) for h, w in hws])
     writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
                                prospect_thresh=t, verbose=False)
                for t in threshs}
