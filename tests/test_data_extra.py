@@ -187,9 +187,48 @@ def test_split_integrity_guard(tmp_path):
     from wseg_tpu.data.pascal_voc import check_split_integrity
 
     check_split_integrity("train", 10582)  # official: silent
+    check_split_integrity("train_voc", 1464)  # plain VOC train: silent
     check_split_integrity("val_voc", 1449)  # stem alias: silent
     check_split_integrity("custom_list", 3)  # unknown split: silent
     with pytest.warns(UserWarning):
         check_split_integrity("train_augvoc", 8)
     with pytest.raises(AssertionError):
         check_split_integrity("val", 3, strict=True)
+
+
+def test_split_integrity_env_flag(monkeypatch):
+    """WSEG_STRICT_SPLITS is value-parsed: '0'/'false' keep warn mode,
+    '1' raises."""
+    import pytest
+
+    from wseg_tpu.data.pascal_voc import check_split_integrity
+
+    monkeypatch.setenv("WSEG_STRICT_SPLITS", "0")
+    with pytest.warns(UserWarning):
+        check_split_integrity("val", 3)
+    monkeypatch.setenv("WSEG_STRICT_SPLITS", "1")
+    with pytest.raises(AssertionError):
+        check_split_integrity("val", 3)
+
+
+def test_grain_records_per_pass_sharded():
+    """Per-shard pass size must match grain's ShardOptions semantics:
+    drop_remainder=True floors every shard; otherwise the first
+    n % count shards carry one extra record."""
+    from wseg_tpu.data.grain_loader import GrainLoader
+
+    class _FakeDs:
+        def __len__(self):
+            return 10
+
+    def make(shard_index, drop_last):
+        lo = GrainLoader.__new__(GrainLoader)
+        lo.dataset = _FakeDs()
+        lo.shard_count = 3
+        lo.shard_index = shard_index
+        lo.drop_last = drop_last
+        return lo._records_per_pass()
+
+    assert [make(i, True) for i in range(3)] == [3, 3, 3]
+    assert [make(i, False) for i in range(3)] == [4, 3, 3]
+    assert sum(make(i, False) for i in range(3)) == 10

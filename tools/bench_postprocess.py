@@ -27,8 +27,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from wseg_tpu.engine.infer import _device_postprocess_group_jit
-
     S, H, W = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 \
         else (8, 384, 512)
     C = 21

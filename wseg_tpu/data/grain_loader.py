@@ -82,9 +82,16 @@ class GrainLoader:
         return iter(loader)
 
     def _records_per_pass(self):
+        """Records THIS shard yields per shuffle pass.  ShardOptions
+        drops the shard remainder only with drop_remainder=True
+        (= self.drop_last); otherwise grain gives the first
+        ``n % count`` shards one extra record each."""
         n = len(self.dataset)
         if self.shard_count > 1:
-            n = n // self.shard_count  # ShardOptions drop_remainder
+            base, extra = divmod(n, self.shard_count)
+            n = base
+            if not self.drop_last and self.shard_index < extra:
+                n += 1
         return n
 
     def _stack(self, records):

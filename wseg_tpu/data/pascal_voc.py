@@ -103,7 +103,16 @@ def read_filelist(path: str, root: str = "") -> List[Tuple[str, str]]:
 # Official split sizes the reference hard-asserts
 # (reference datasets/pascal_voc.py:155-157): SBD-augmented train and
 # the VOC2012 val list.
-OFFICIAL_SPLIT_SIZES = {"train": 10582, "val": 1449}
+# 'train' IS the SBD-augmented 10582-image list in the reference (its
+# train split file is train_augvoc; datasets/pascal_voc.py:155-157
+# asserts 10582 for split=='train'); the plain VOC2012 train list goes
+# by 'train_voc' (1464).
+OFFICIAL_SPLIT_SIZES = {"train": 10582, "val": 1449, "train_voc": 1464}
+
+
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, "").strip().lower() in (
+        "1", "true", "yes", "on")
 
 
 def check_split_integrity(split: str, n: int, strict: bool = False):
@@ -124,7 +133,7 @@ def check_split_integrity(split: str, n: int, strict: bool = False):
     msg = ("split '%s' has %d entries; the official VOC list has %d "
            "(reference datasets/pascal_voc.py:155-157)" %
            (split, n, expect))
-    if strict or os.environ.get("WSEG_STRICT_SPLITS"):
+    if strict or _env_flag("WSEG_STRICT_SPLITS"):
         raise AssertionError(msg)
     warnings.warn(msg)
 

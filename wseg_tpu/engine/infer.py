@@ -362,15 +362,8 @@ class InferenceEngine:
         self.method = method
 
     def _put(self, x):
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        n_data = int(self.mesh.shape["data"])
-        if int(np.shape(x)[0]) % n_data:
-            return x
-        spec = P("data", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(jnp.asarray(x),
-                              NamedSharding(self.mesh, spec))
+        from wseg_tpu.parallel.mesh import shard_leading_if_divisible
+        return shard_leading_if_divisible(self.mesh, x)
 
     def _infer_batch(self, batch, pads_rows):
         """Dispatch one bucket batch (uint8 path passes pad windows)."""

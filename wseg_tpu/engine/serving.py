@@ -172,16 +172,8 @@ class MultiScaleServer:
     def _put(self, x):
         """Shard a batched array's leading axis over the mesh ``data``
         axis (no-op without a mesh or when the axis doesn't divide)."""
-        if self.mesh is None:
-            return x
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        n_data = int(self.mesh.shape["data"])
-        if int(np.shape(x)[0]) % n_data:
-            return x
-        spec = P("data", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(jnp.asarray(x),
-                              NamedSharding(self.mesh, spec))
+        from wseg_tpu.parallel.mesh import shard_leading_if_divisible
+        return shard_leading_if_divisible(self.mesh, x)
 
     def _infer(self, batch, pads_rows):
         if self.uint8:
@@ -261,9 +253,9 @@ class MultiScaleServer:
         while not self._stop.is_set():
             group = self._collect_group()
             if not group:
-                if self._stop.is_set() or self._q.empty():
-                    if self._stop.is_set():
-                        return
+                # only the close() sentinel yields an empty group
+                if self._stop.is_set():
+                    return
                 continue
             try:
                 self._process(group)

@@ -92,6 +92,23 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_leading_if_divisible(mesh, x):
+    """Shard one array's leading axis over ``data`` when it divides the
+    axis size; otherwise return it untouched (single-device inference
+    batches can be ragged — used by the serving/inference engines,
+    where ``mesh`` may also be None)."""
+    import numpy as np
+
+    if mesh is None:
+        return x
+    n_data = int(mesh.shape["data"])
+    if int(np.shape(x)[0]) % n_data:
+        return x
+    import jax.numpy as jnp
+    spec = P("data", *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
 def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("data"))
 

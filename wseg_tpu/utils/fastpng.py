@@ -25,6 +25,7 @@ import ctypes
 import os
 import struct
 import subprocess
+import threading
 import zlib
 
 import numpy as np
@@ -36,17 +37,29 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libwseg_fastpng.so")
 _lib = None
 _lib_tried = False
+_lib_lock = threading.Lock()
 
 
 def _load():
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _lib_tried
     _lib_tried = True
     try:
-        if not os.path.isfile(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+        # always run make: it is a no-op when the .so is newer than the
+        # source, and rebuilds if a stale binary shadows an edited
+        # fastpng.c (writer threads serialise on _lib_lock, so no
+        # overlapping builds)
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.wseg_encode_indexed_png.restype = ctypes.c_long
         lib.wseg_encode_indexed_png.argtypes = [
