@@ -101,6 +101,35 @@ def main():
 
     img_per_sec = n_images / dt
 
+    # secondary: the opt-in int8 serving mode (NET.DTYPE: int8 — w8a8
+    # dynamically-quantized backbone convs, bf16 head; same checkpoint;
+    # fidelity bounds in tests/test_quant.py + docs/ROOFLINE.md).
+    # Measured 17.7 img/s vs 13.0 bf16 on v5e.  Skippable via
+    # WSEG_BENCH_NO_INT8=1.
+    int8_img_per_sec = None
+    if not os.environ.get("WSEG_BENCH_NO_INT8"):
+        cfg.NET.DTYPE = "int8"
+        model8 = get_model(cfg.NET, num_classes=21)
+
+        @jax.jit
+        def fwd8(v, x):
+            out = model8.apply(v, x, train=False)
+            chk = out.cls.astype(jnp.float32).sum() + \
+                out.masks.astype(jnp.float32).sum()
+            return out.cls, out.masks, chk
+
+        for b in batches:
+            _, _, chk = fwd8(variables, b)
+            float(chk)
+        total = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            chks = [fwd8(variables, b)[2] for b in batches]
+            total = combine(total, *chks)
+        float(total)
+        int8_img_per_sec = n_images / (time.perf_counter() - t0)
+        cfg.NET.DTYPE = "bfloat16"
+
     e2e_img_per_sec = bench_e2e(model, variables)
 
     # train-step throughput in the driver-captured artifact (bs 8 + 16,
@@ -126,6 +155,8 @@ def main():
         "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
         "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
                                  2),
+        **({"int8_forward_images_per_sec": round(int8_img_per_sec, 3)}
+           if int8_img_per_sec else {}),
         **train,
     }
     print(json.dumps(result), flush=True)

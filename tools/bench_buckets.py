@@ -92,7 +92,8 @@ def main():
     reset_cfg()
     cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
     cfg.NET.BACKBONE = "resnet38"
-    cfg.NET.DTYPE = "bfloat16"
+    # WSEG_BUCKET_DTYPE=int8 benches the w8a8-quantized backbone mode
+    cfg.NET.DTYPE = os.environ.get("WSEG_BUCKET_DTYPE", "bfloat16")
     model = get_model(cfg.NET, num_classes=21)
     rng = jax.random.PRNGKey(0)
     variables = init_test_variables(model, rng, (1, 128, 128, 3))

@@ -42,6 +42,19 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+# Marker compute-dtype for the int8 inference mode (NET.DTYPE: int8):
+# convs run w8a8 dynamically-quantized on the MXU's int8 path (2.08x
+# the bf16 conv rate measured on v5e, docs/ROOFLINE.md); everything
+# non-conv computes in bfloat16.
+INT8_MARKER = "int8"
+
+
+def canon_dtype(d):
+    """Resolve the int8 marker to the bfloat16 compute dtype for
+    non-conv ops (norms, activations, head math)."""
+    return jnp.bfloat16 if isinstance(d, str) and d == INT8_MARKER else d
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with permanently frozen statistics and affine.
 
@@ -53,6 +66,7 @@ class FrozenBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dt = canon_dtype(self.dtype)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
@@ -60,7 +74,7 @@ class FrozenBatchNorm(nn.Module):
         # fold into a single multiply-add (XLA fuses this into the conv)
         mul = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
         add = bias - mean * mul
-        return x * mul.astype(self.dtype) + add.astype(self.dtype)
+        return x * mul.astype(dt) + add.astype(dt)
 
 
 class AffineNorm(nn.Module):
@@ -76,29 +90,101 @@ class AffineNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dt = canon_dtype(self.dtype)
         inv = 1.0 / math.sqrt(1.0 + self.eps)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,))
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
-            return x * (scale * inv).astype(self.dtype) + bias.astype(
-                self.dtype)
+            return x * (scale * inv).astype(dt) + bias.astype(dt)
         # affine=False variant (GCI fc_skip, reference gci.py:41): pure
         # frozen-stat normalisation with no learnable affine.
-        return x * jnp.asarray(inv, self.dtype)
+        return x * jnp.asarray(inv, dt)
+
+
+class QuantConv(nn.Module):
+    """w8a8 dynamically-quantized conv (int8 inference mode).
+
+    Same parameter tree as the ``nn.Conv`` it replaces ("kernel" HWIO
+    f32, optional "bias"), so checkpoints and the torch converter work
+    unchanged — quantization happens at apply time inside the jitted
+    program: per-output-channel symmetric weight scales, a per-tensor
+    dynamic activation scale (one |x| reduction, negligible vs the
+    conv), int8xint8->int32 on the MXU (v5e int8 peak is 2x bf16;
+    measured 2.08x per conv, docs/ROOFLINE.md), then a float dequant
+    multiply.  int32 cannot overflow: max 9*4096*127^2 < 2^31.
+
+    Tiny input channels (the RGB stem) skip quantization — cin pads to
+    the MXU tile anyway and the first conv dominates the quantization
+    error budget.  Inference-only: round() has zero gradient, so
+    training runs use bfloat16 (get_model maps NET.DTYPE int8 to a
+    bf16 head + int8 backbone convs for test-mode use).
+    """
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: Any = "VALID"
+    kernel_dilation: tuple = (1, 1)
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.he_normal()
+    out_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        w = self.param("kernel", self.kernel_init,
+                       (kh, kw, cin, self.features), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if cin >= 16:
+            sw = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+            wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+            sx = jnp.maximum(
+                jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (sx * sw)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.out_dtype), w.astype(self.out_dtype),
+                self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(self.out_dtype)
 
 
 def conv(features, kernel=3, stride=1, dilation=1, use_bias=False,
          dtype=jnp.float32, name=None, kernel_init=None):
-    """3x3/1x1 conv in NHWC with SAME-style torch padding."""
+    """3x3/1x1 conv in NHWC with SAME-style torch padding.
+
+    ``dtype`` may be the ``INT8_MARKER`` string: the conv then runs
+    w8a8-quantized (QuantConv) with bfloat16 outputs."""
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     pad = [((k - 1) // 2 * d, (k - 1) // 2 * d)
            for k, d in zip(kernel, (dilation, dilation))]
+    pad = pad if kernel != (1, 1) else "VALID"
+    if isinstance(dtype, str) and dtype == INT8_MARKER:
+        return QuantConv(
+            features, kernel, strides=(stride, stride), padding=pad,
+            kernel_dilation=(dilation, dilation), use_bias=use_bias,
+            name=name,
+            kernel_init=kernel_init or nn.initializers.he_normal())
     return nn.Conv(
         features, kernel, strides=(stride, stride),
-        padding=pad if kernel != (1, 1) else "VALID",
+        padding=pad,
         kernel_dilation=(dilation, dilation),
         use_bias=use_bias, dtype=dtype, name=name,
         kernel_init=kernel_init or nn.initializers.he_normal())

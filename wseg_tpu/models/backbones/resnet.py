@@ -75,9 +75,9 @@ class ResNet(nn.Module):
             x = conv(128, 3, dtype=self.dtype, name="conv3")(x)
             x = FrozenBatchNorm(128, dtype=self.dtype, name="bn3")(x)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=False,
-                        dtype=self.dtype, name="conv1")(x)
+            # common.conv: same 7x7/s2/pad3 geometry, and routes the
+            # int8-mode marker dtype like every other backbone conv
+            x = conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
             x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = wrelu(x)
         # torch MaxPool2d(3, stride 2, padding 1)

@@ -125,12 +125,18 @@ class StageNet(nn.Module):
     pamr_impl: str = "lax"
     sa_dim: int = 1024
     dtype: Any = jnp.float32
+    # compute dtype for the backbone only; None = same as ``dtype``.
+    # The int8 inference mode (NET.DTYPE: int8) sets this to the
+    # "int8" marker: backbone convs run w8a8-quantized (~90% of the
+    # forward FLOPs) while the head stays bfloat16.
+    backbone_dtype: Any = None
 
     def setup(self):
         # the backbone lives in setup() so both __call__ and
         # backbone_taps (Grad-CAM engines) can run it
-        self._backbone_mod = get_backbone(self.backbone, self.dtype,
-                                          module_name="backbone")
+        self._backbone_mod = get_backbone(
+            self.backbone, self.backbone_dtype or self.dtype,
+            module_name="backbone")
 
     def _dropout2d(self, x, rate, train):
         return nn.Dropout(rate, broadcast_dims=(1, 2),
@@ -630,11 +636,15 @@ def get_model(net_cfg, num_classes: int = 21) -> StageNet:
         name = "bsl"
     if name not in MODEL_SPECS:
         raise NotImplementedError(f"Unknown model '{name}'")
-    dtype = jnp.bfloat16 if str(
-        getattr(net_cfg, "DTYPE", "float32")) == "bfloat16" else jnp.float32
+    dstr = str(getattr(net_cfg, "DTYPE", "float32"))
+    # "int8": w8a8-quantized backbone convs (inference mode; ~2x the
+    # bf16 conv rate on v5e, docs/ROOFLINE.md) + bfloat16 head math
+    dtype = jnp.bfloat16 if dstr in ("bfloat16", "int8") else jnp.float32
+    backbone_dtype = "int8" if dstr == "int8" else None
     return StageNet(
         spec=MODEL_SPECS[name],
         backbone=net_cfg.BACKBONE,
+        backbone_dtype=backbone_dtype,
         num_classes=num_classes,
         bg_score=float(net_cfg.BG_SCORE),
         focal_p=float(net_cfg.FOCAL_P),
