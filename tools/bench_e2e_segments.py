@@ -42,7 +42,8 @@ def setup():
     reset_cfg()
     cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
     cfg.NET.BACKBONE = "resnet38"
-    cfg.NET.DTYPE = "bfloat16"
+    # WSEG_BENCH_DTYPE=int8 measures the quantized serving mode
+    cfg.NET.DTYPE = os.environ.get("WSEG_BENCH_DTYPE", "bfloat16")
     cfg.TEST.SCALES = [1.0, 0.5, 1.5, 2.0]
     cfg.TEST.FLIP = True
     cfg.TEST.PAD_PER_SCALE = True

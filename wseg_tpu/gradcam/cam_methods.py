@@ -45,6 +45,13 @@ class BaseCAM:
     uses_gradients = True
 
     def __init__(self, model, variables, tap="conv6"):
+        if getattr(model, "backbone_dtype", None) == "int8":
+            # round() in the quantized convs has zero gradient — every
+            # gradient-based CAM would silently return zeros
+            raise ValueError(
+                "Grad-CAM engines need a differentiable model; "
+                "NET.DTYPE 'int8' is inference-only — use 'bfloat16' "
+                "for infer_cam/cam runs")
         self.model = model
         self.variables = variables
         # one tap or several: multiple target layers are aggregated as

@@ -143,8 +143,12 @@ class QuantConv(nn.Module):
             sw = jnp.maximum(
                 jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
             wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+            # per-IMAGE dynamic activation scale (rows are independent
+            # through a conv): one outlier image no longer coarsens the
+            # whole batch's quantization grid
             sx = jnp.maximum(
-                jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+                jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
+                        keepdims=True), 1e-12) / 127.0
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                           -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
