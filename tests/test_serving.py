@@ -126,6 +126,15 @@ def test_server_groups_by_signature(model_vars, rng_np):
     assert sum(len(g) for g in groups_seen) == len(sizes)
 
 
+def test_pp_slot_cap_budget():
+    """Postprocess slot chunking: never binds at per-scale-bucket
+    canvases; caps the reference global-PAD 1024^2 canvas well below 16
+    (a 16-slot group there compiled to 20.2 GB on a 15.75 GB chip)."""
+    cap = MultiScaleServer._pp_slot_cap
+    assert cap(384, 512, 21) >= 16
+    assert 1 <= cap(1024, 1024, 21) < 16
+
+
 def test_server_device_views_close_to_host_views(model_vars, rng_np):
     """DEVICE_VIEWS (one original upload, resize/flip/pad on device)
     must agree with the host-PIL view path up to the documented ~LSB

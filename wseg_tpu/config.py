@@ -104,8 +104,12 @@ def _default_cfg() -> AttrDict:
     # TPU extension: pad each scale view to its own bucket instead of one
     # global PAD_SIZE (reference pads every view to 1024^2 regardless of
     # scale, wasting up to 4x FLOPs on small scales).  Semantics of the
-    # merged mask are unchanged: padding is cut before merging either way.
-    c.TEST.PAD_PER_SCALE = False
+    # merged mask are unchanged: padding is cut before merging either
+    # way.  Default ON since r3 (like the other device fast paths): the
+    # global-1024^2 mode also makes the merge canvas 1024^2, which at
+    # BATCH_SIZE 16 pushed the slot-batched device postprocess past HBM.
+    # Set False for reference-identical padding.
+    c.TEST.PAD_PER_SCALE = True
     # TPU extension: merge scale/flip views on device and fetch only the
     # merged map (the reference merges on host, fetching every view).
     # Default ON: the host path fetches 8 full-resolution tensors per

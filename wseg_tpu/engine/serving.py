@@ -148,14 +148,19 @@ class MultiScaleServer:
                         (mh, mw) not in pp_seen:
                     pp_seen.add((mh, mw))
                     nc = int(cls.shape[-1]) + 1
+                    # warm at the CHUNKED slot count when the canvas is
+                    # large (_pp_slot_cap) — the production dispatch
+                    # uses the same shape
+                    cs = min(self.max_batch,
+                             self._pp_slot_cap(mh, mw, nc))
                     dev = self.postprocess.dispatch_group(
                         self._put(jnp.zeros(
-                            (self.max_batch, mh, mw, nc), jnp.float32)),
-                        np.zeros((self.max_batch, nc - 1), np.float32),
+                            (cs, mh, mw, nc), jnp.float32)),
+                        np.zeros((cs, nc - 1), np.float32),
                         np.tile(np.asarray([0, 0, mh, mw], np.int32),
-                                (self.max_batch, 1)),
+                                (cs, 1)),
                         self._put(jnp.zeros(
-                            (self.max_batch, mh, mw, 3), jnp.uint8)),
+                            (cs, mh, mw, 3), jnp.uint8)),
                         self.views.num_views)
                     np.asarray(jax.device_get(dev))
         seen = set()
@@ -620,30 +625,60 @@ class MultiScaleServer:
                                              labels_all)
         self._finalize_postprocess(group, per_image, pending, labels_all)
 
+    @staticmethod
+    def _pp_slot_cap(mh: int, mw: int, nc: int) -> int:
+        """Max postprocess slots per dispatch for this merge canvas.
+
+        The device CRF's working set is ~15x the slot's f32 canvas (a
+        16-slot group at a 1024^2 canvas compiled to 20.2 GB on a
+        15.75 GB chip); budget 10 GB.  Never binds at per-scale-bucket
+        canvases (384x512 -> ~40 slots) — only the reference global
+        PAD_SIZE mode (1024^2 merge canvas) gets chunked."""
+        per_slot = mh * mw * nc * 4 * 15
+        return max(1, int(10e9 // per_slot))
+
     def _dispatch_postprocess(self, per_image, sig_batches, labels_all):
-        """One postprocess dispatch per view-shape signature; returns
+        """Postprocess dispatches per view-shape signature — ONE when
+        the canvas allows, HBM-budget-sized chunks otherwise (static
+        chunk shape: the last chunk re-covers earlier rows).  Returns
         [(gis, row-map, device preds)] WITHOUT fetching."""
         import jax.numpy as jnp
 
         nc1 = len(labels_all[0])
         pending = []
         for gis, _, total, u8 in sig_batches:
-            cap = total.shape[0]
+            cap, mh, mw = total.shape[0], total.shape[1], total.shape[2]
             lb = np.zeros((cap, nc1), np.float32)
             wn = np.zeros((cap, 4), np.int32)
             for gi in gis:
                 lb[gi] = labels_all[gi]
                 wn[gi] = per_image[gi][1][0]
-            dev = self.postprocess.dispatch_group(
-                total, lb, wn, u8, self.views.num_views)
-            if len(gis) * 2 <= cap:
-                # sparse signature: gather the live rows on device
-                # rather than paying fetch bytes for the padding
-                dev = dev[jnp.asarray(gis)]
-                rows = {gi: k for k, gi in enumerate(gis)}
-            else:
-                rows = {gi: gi for gi in gis}
-            pending.append((gis, rows, dev))
+            cs = min(cap, self._pp_slot_cap(mh, mw, nc1 + 1))
+            if cs >= cap:
+                dev = self.postprocess.dispatch_group(
+                    total, lb, wn, u8, self.views.num_views)
+                if len(gis) * 2 <= cap:
+                    # sparse signature: gather the live rows on device
+                    # rather than paying fetch bytes for the padding
+                    dev = dev[jnp.asarray(gis)]
+                    rows = {gi: k for k, gi in enumerate(gis)}
+                else:
+                    rows = {gi: gi for gi in gis}
+                pending.append((gis, rows, dev))
+                continue
+            starts = sorted({min(s, cap - cs)
+                             for s in range(0, cap, cs)})
+            for st in starts:
+                sub = [gi for gi in gis if st <= gi < st + cs
+                       and not any(s2 <= gi < s2 + cs
+                                   for s2 in starts if s2 < st)]
+                if not sub:
+                    continue
+                dev = self.postprocess.dispatch_group(
+                    total[st:st + cs], lb[st:st + cs], wn[st:st + cs],
+                    u8[st:st + cs], self.views.num_views)
+                rows = {gi: gi - st for gi in sub}
+                pending.append((sub, rows, dev))
         return pending
 
     def _finalize_postprocess(self, group, per_image, pending,
