@@ -59,47 +59,48 @@ def main():
     from wseg_tpu.engine.train_loop import init_test_variables
     variables = init_test_variables(model, rng, (1, 128, 128, 3))
 
-    @jax.jit
-    def fwd(v, x):
-        out = model.apply(v, x, train=False)
-        # tiny checksum: fetching it forces the whole program to finish
-        # (block_until_ready is unreliable on relayed backends) while the
-        # masks stay on device
-        chk = out.cls.astype(jnp.float32).sum() + \
-            out.masks.astype(jnp.float32).sum()
-        return out.cls, out.masks, chk
-
     # one batch per bucket: [view, flipped view] x imgs_per_batch
     batches = [jnp.asarray(
         np.random.rand(2 * imgs_per_batch, h, w, 3), jnp.float32)
         for (h, w) in buckets]
 
-    # warmup / compile (first conv program on a fresh process can take
-    # ~1 min on remote-compile backends)
-    for b in batches:
-        _, _, chk = fwd(variables, b)
-        float(chk)
-
     @jax.jit
     def combine(total, a, b, c, d):
         return total + a + b + c + d
 
-    # steady state: N full images (each = all 4 buckets, 8 views),
-    # fully pipelined; ONE final scalar fetch forces every dispatched
-    # program to complete (per-image fetches would serialize on the
-    # host<->device round trip, which on relayed backends is ~30 ms)
     n_rounds = 3
     n_images = n_rounds * imgs_per_batch
-    total = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(n_rounds):
-        chks = [fwd(variables, b)[2] for b in batches]
-        total = combine(total, *chks)
-    final = float(total)  # data-dependent on every dispatched program
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final)
 
-    img_per_sec = n_images / dt
+    def timed_forward(m):
+        """Steady-state img/s of one model over all buckets.
+
+        A tiny checksum per program forces completion at the final
+        fetch (block_until_ready is unreliable on relayed backends)
+        while the masks stay on device; all dispatches are pipelined
+        and ONE scalar fetch pays the host<->device round trip."""
+        @jax.jit
+        def fwd(v, x):
+            out = m.apply(v, x, train=False)
+            chk = out.cls.astype(jnp.float32).sum() + \
+                out.masks.astype(jnp.float32).sum()
+            return out.cls, out.masks, chk
+
+        # warmup / compile (first conv program on a fresh process can
+        # take ~1 min on remote-compile backends)
+        for b in batches:
+            _, _, chk = fwd(variables, b)
+            float(chk)
+        total = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            chks = [fwd(variables, b)[2] for b in batches]
+            total = combine(total, *chks)
+        final = float(total)  # depends on every dispatched program
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final)
+        return n_images / dt
+
+    img_per_sec = timed_forward(model)
 
     # secondary: the opt-in int8 serving mode (NET.DTYPE: int8 — w8a8
     # dynamically-quantized backbone convs, bf16 head; same checkpoint;
@@ -109,25 +110,8 @@ def main():
     int8_img_per_sec = None
     if not os.environ.get("WSEG_BENCH_NO_INT8"):
         cfg.NET.DTYPE = "int8"
-        model8 = get_model(cfg.NET, num_classes=21)
-
-        @jax.jit
-        def fwd8(v, x):
-            out = model8.apply(v, x, train=False)
-            chk = out.cls.astype(jnp.float32).sum() + \
-                out.masks.astype(jnp.float32).sum()
-            return out.cls, out.masks, chk
-
-        for b in batches:
-            _, _, chk = fwd8(variables, b)
-            float(chk)
-        total = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n_rounds):
-            chks = [fwd8(variables, b)[2] for b in batches]
-            total = combine(total, *chks)
-        float(total)
-        int8_img_per_sec = n_images / (time.perf_counter() - t0)
+        int8_img_per_sec = timed_forward(get_model(cfg.NET,
+                                                   num_classes=21))
         cfg.NET.DTYPE = "bfloat16"
 
     e2e_img_per_sec = bench_e2e(model, variables)

@@ -151,8 +151,8 @@ class MultiScaleServer:
                     # warm at the CHUNKED slot count when the canvas is
                     # large (_pp_slot_cap) — the production dispatch
                     # uses the same shape
-                    cs = min(self.max_batch,
-                             self._pp_slot_cap(mh, mw, nc))
+                    cs = self._mesh_round(min(
+                        self.max_batch, self._pp_slot_cap(mh, mw, nc)))
                     dev = self.postprocess.dispatch_group(
                         self._put(jnp.zeros(
                             (cs, mh, mw, nc), jnp.float32)),
@@ -164,6 +164,7 @@ class MultiScaleServer:
                         self.views.num_views)
                     np.asarray(jax.device_get(dev))
         seen = set()
+        pp_host_seen = set()
         dt = np.uint8 if self.uint8 else np.float32
         for (w, h) in host_sizes:
             for (ph, pw) in self.views.view_shapes(w, h):
@@ -173,6 +174,27 @@ class MultiScaleServer:
                 dummy = np.zeros((cap, ph, pw, 3), dt)
                 cls, masks = self._infer(dummy, np.zeros((cap, 4)))
                 np.asarray(jax.device_get(cls))
+            # the host-view path also ends in the slot-batched
+            # postprocess (_resolve) when one is configured — warm its
+            # program too (a cold compile would land on the finisher
+            # thread)
+            mh, mw = self.views.view_shapes(w, h)[0]
+            if self.postprocess is not None and \
+                    bool(getattr(self.cfg, "DEVICE_MERGE", False)) and \
+                    (mh, mw) not in pp_host_seen:
+                import jax.numpy as jnp
+                pp_host_seen.add((mh, mw))
+                nc = int(cls.shape[-1]) + 1
+                cs = self._mesh_round(min(
+                    self.max_batch, self._pp_slot_cap(mh, mw, nc)))
+                dev = self.postprocess.dispatch_group(
+                    self._put(jnp.zeros((cs, mh, mw, nc), jnp.float32)),
+                    np.zeros((cs, nc - 1), np.float32),
+                    np.tile(np.asarray([0, 0, mh, mw], np.int32),
+                            (cs, 1)),
+                    self._put(jnp.zeros((cs, mh, mw, 3), jnp.uint8)),
+                    self.views.num_views)
+                np.asarray(jax.device_get(dev))
 
     def _put(self, x):
         """Shard a batched array's leading axis over the mesh ``data``
@@ -571,17 +593,23 @@ class MultiScaleServer:
                 subgroups.setdefault(tuple(sums[gi].shape), []).append(gi)
             pending_pp = []
             for shp, gis in subgroups.items():
-                pad_n = self.max_batch - len(gis)
-                rows = gis + [gis[0]] * pad_n
-                sm = self._put(jnp.stack([sums[gi] for gi in rows]))
-                lb = np.stack([labels_all[gi] for gi in rows])
-                wn = np.stack([per_image[gi][1][0] for gi in rows])
-                im = self._put(jnp.stack([per_image[gi][0][0]
-                                          for gi in rows]))
-                dev = self.postprocess.dispatch_group(
-                    sm, lb, wn, im, self.views.num_views)
-                # don't pay fetch bytes for the padding rows
-                pending_pp.append((gis, dev[:len(gis)]))
+                # pad to the HBM-budgeted chunk size, not max_batch (a
+                # 16-slot program at the reference 1024^2 merge canvas
+                # exceeds HBM; _pp_slot_cap)
+                cs = self._mesh_round(min(
+                    self.max_batch, self._pp_slot_cap(*shp)))
+                for i in range(0, len(gis), cs):
+                    chunk = gis[i:i + cs]
+                    rows = chunk + [chunk[0]] * (cs - len(chunk))
+                    sm = self._put(jnp.stack([sums[gi] for gi in rows]))
+                    lb = np.stack([labels_all[gi] for gi in rows])
+                    wn = np.stack([per_image[gi][1][0] for gi in rows])
+                    im = self._put(jnp.stack([per_image[gi][0][0]
+                                              for gi in rows]))
+                    dev = self.postprocess.dispatch_group(
+                        sm, lb, wn, im, self.views.num_views)
+                    # don't pay fetch bytes for the padding rows
+                    pending_pp.append((chunk, dev[:len(chunk)]))
             for gis, dev in pending_pp:
                 preds = np.asarray(jax.device_get(dev))
                 for k, gi in enumerate(gis):
@@ -625,6 +653,15 @@ class MultiScaleServer:
                                              labels_all)
         self._finalize_postprocess(group, per_image, pending, labels_all)
 
+    def _mesh_round(self, cs: int) -> int:
+        """Round a chunk size DOWN to a multiple of the mesh data axis
+        (>= one per device) so chunked postprocess dispatches keep the
+        warmed sharded program shape; identity without a mesh."""
+        if self.mesh is None:
+            return cs
+        nd = int(self.mesh.shape["data"])
+        return max(nd, cs - cs % nd)
+
     @staticmethod
     def _pp_slot_cap(mh: int, mw: int, nc: int) -> int:
         """Max postprocess slots per dispatch for this merge canvas.
@@ -653,7 +690,8 @@ class MultiScaleServer:
             for gi in gis:
                 lb[gi] = labels_all[gi]
                 wn[gi] = per_image[gi][1][0]
-            cs = min(cap, self._pp_slot_cap(mh, mw, nc1 + 1))
+            cs = self._mesh_round(
+                min(cap, self._pp_slot_cap(mh, mw, nc1 + 1)))
             if cs >= cap:
                 dev = self.postprocess.dispatch_group(
                     total, lb, wn, u8, self.views.num_views)
@@ -675,8 +713,9 @@ class MultiScaleServer:
                 if not sub:
                     continue
                 dev = self.postprocess.dispatch_group(
-                    total[st:st + cs], lb[st:st + cs], wn[st:st + cs],
-                    u8[st:st + cs], self.views.num_views)
+                    self._put(total[st:st + cs]), lb[st:st + cs],
+                    wn[st:st + cs], self._put(u8[st:st + cs]),
+                    self.views.num_views)
                 rows = {gi: gi - st for gi in sub}
                 pending.append((sub, rows, dev))
         return pending

@@ -85,6 +85,12 @@ class DecTrainer:
         self.valloader = get_dataloader(args, cfg, "val_voc")
         self.nclass = 21
 
+        if str(getattr(cfg.NET, "DTYPE", "")) == "int8":
+            # round() in the quantized convs has zero gradient: the head
+            # would learn while the backbone silently receives nothing
+            raise ValueError(
+                "NET.DTYPE 'int8' is inference-only (w8a8 convs are not "
+                "differentiable); train with 'bfloat16' or 'float32'")
         self.model = get_model(cfg.NET, num_classes=self.nclass)
 
         rng = jax.random.PRNGKey(getattr(args, "random_seed", 64))

@@ -45,13 +45,16 @@ class BaseCAM:
     uses_gradients = True
 
     def __init__(self, model, variables, tap="conv6"):
-        if getattr(model, "backbone_dtype", None) == "int8":
+        if (getattr(self, "uses_gradients", True)
+                and getattr(model, "backbone_dtype", None) == "int8"):
             # round() in the quantized convs has zero gradient — every
-            # gradient-based CAM would silently return zeros
+            # GRADIENT-based CAM would silently return zeros (the
+            # forward-only engines — Score/Ablation/Eigen — work fine
+            # in int8 and benefit most from its speed)
             raise ValueError(
-                "Grad-CAM engines need a differentiable model; "
-                "NET.DTYPE 'int8' is inference-only — use 'bfloat16' "
-                "for infer_cam/cam runs")
+                "gradient-based CAM engines need a differentiable "
+                "model; NET.DTYPE 'int8' is inference-only — use "
+                "'bfloat16' for this method")
         self.model = model
         self.variables = variables
         # one tap or several: multiple target layers are aggregated as

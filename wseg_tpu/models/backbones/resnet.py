@@ -76,8 +76,11 @@ class ResNet(nn.Module):
             x = FrozenBatchNorm(128, dtype=self.dtype, name="bn3")(x)
         else:
             # common.conv: same 7x7/s2/pad3 geometry, and routes the
-            # int8-mode marker dtype like every other backbone conv
-            x = conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+            # int8-mode marker dtype like every other backbone conv;
+            # keep nn.Conv's lecun_normal init (pre-change behaviour
+            # for from-scratch runs — pretrained loads are unaffected)
+            x = conv(64, 7, 2, dtype=self.dtype, name="conv1",
+                     kernel_init=nn.initializers.lecun_normal())(x)
             x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = wrelu(x)
         # torch MaxPool2d(3, stride 2, padding 1)
