@@ -128,6 +128,39 @@ def test_device_postprocess_coarse_to_fine_crf():
     assert agree_crf > 0.5, agree_crf
 
 
+def test_chunked_postprocess_matches_unchunked(monkeypatch):
+    """HBM-budget chunking (_pp_slot_cap small -> several postprocess
+    dispatches per group) must produce the same per-image results as
+    one full-group dispatch, with every future resolving."""
+    model, variables = _setup(uint8=True)
+    cfg.TEST.DEVICE_MERGE = True
+    cfg.TEST.DEVICE_VIEWS = True
+    imgs = [_image(10 + i) for i in range(4)]
+    gt = np.ones(20, np.float32)
+
+    def run(slot_cap):
+        if slot_cap is not None:
+            monkeypatch.setattr(MultiScaleServer, "_pp_slot_cap",
+                                staticmethod(lambda mh, mw, nc:
+                                             slot_cap))
+        pp = make_device_postprocess((0.0, 0.3), (), crf_iters=1,
+                                     bg_pow=float(cfg.TEST.BG_POW))
+        srv = MultiScaleServer(model, variables, cfg.TEST, max_batch=4,
+                               max_wait_ms=200, postprocess=pp)
+        srv.warmup([im.size for im in imgs])
+        try:
+            futs = [srv.submit(im, gt) for im in imgs]
+            return [f.result(timeout=300)[0] for f in futs]
+        finally:
+            srv.close()
+
+    full = run(None)
+    chunked = run(2)  # 4-slot group -> two 2-slot dispatches
+    for a, b in zip(full, chunked):
+        for t in (0.0, 0.3):
+            np.testing.assert_array_equal(a[t]["pred"], b[t]["pred"])
+
+
 def test_server_uint8_merged_matches_engine():
     """Without postprocess, the uint8 server still returns merged maps
     that match the per-image engine."""
