@@ -128,6 +128,46 @@ def test_device_postprocess_coarse_to_fine_crf():
     assert agree_crf > 0.5, agree_crf
 
 
+def test_device_labels_match_host_labels():
+    """USE_GT_LABELS=False with a postprocess: image-level labels are
+    computed ON DEVICE inside the postprocess program (sigmoid-max over
+    views > FP_CUT_SCORE).  They must equal the host predict_labels
+    path, and the preds must equal a GT-labels run fed those labels."""
+    model, variables = _setup(uint8=True)
+    cfg.TEST.DEVICE_MERGE = True
+    cfg.TEST.DEVICE_VIEWS = True
+    cfg.TEST.USE_GT_LABELS = False
+    img = _image(21)
+
+    # host reference labels via the engine
+    eng = InferenceEngine(model, variables, cfg.TEST)
+    _, labels_host = eng.run_image(img, np.zeros(20, np.float32))
+
+    pp = make_device_postprocess((0.0,), (), crf_iters=1,
+                                 bg_pow=float(cfg.TEST.BG_POW))
+    srv = MultiScaleServer(model, variables, cfg.TEST, max_batch=2,
+                           postprocess=pp)
+    srv.warmup([img.size])
+    try:
+        res_dev, labels_dev = srv.submit(img).result(timeout=300)
+    finally:
+        srv.close()
+    np.testing.assert_array_equal(labels_dev, labels_host)
+
+    cfg.TEST.USE_GT_LABELS = True
+    pp2 = make_device_postprocess((0.0,), (), crf_iters=1,
+                                  bg_pow=float(cfg.TEST.BG_POW))
+    srv2 = MultiScaleServer(model, variables, cfg.TEST, max_batch=2,
+                            postprocess=pp2)
+    srv2.warmup([img.size])
+    try:
+        res_gt, _ = srv2.submit(img, labels_host).result(timeout=300)
+    finally:
+        srv2.close()
+    np.testing.assert_array_equal(res_dev[0.0]["pred"],
+                                  res_gt[0.0]["pred"])
+
+
 def test_chunked_postprocess_matches_unchunked(monkeypatch):
     """HBM-budget chunking (_pp_slot_cap small -> several postprocess
     dispatches per group) must produce the same per-image results as

@@ -48,7 +48,9 @@ def setup():
     cfg.TEST.FLIP = True
     cfg.TEST.PAD_PER_SCALE = True
     cfg.TEST.PAD_ALIGN = 64
-    cfg.TEST.USE_GT_LABELS = True
+    # WSEG_BENCH_GT=0: predicted labels (device-computed inside the
+    # postprocess program) instead of GT labels
+    cfg.TEST.USE_GT_LABELS = os.environ.get("WSEG_BENCH_GT", "1") != "0"
     cfg.TEST.DEVICE_MERGE = True
     cfg.TEST.UINT8_TRANSFER = True
     cfg.TEST.DEVICE_VIEWS = True

@@ -246,6 +246,45 @@ def _device_postprocess_group_jit(sum_maps, labels, windows, imgs_u8, *,
         sum_maps, labels, windows, imgs_u8)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_views", "bg_pow", "threshs", "crf_threshs", "crf_iters",
+    "crf_dtype", "crf_stride", "crf_tap_div", "crf_full_stride",
+    "crf_refine_iters", "fp_cut"))
+def _device_postprocess_group_cls_jit(sum_maps, cls_list, windows,
+                                      imgs_u8, *, n_views, bg_pow,
+                                      threshs, crf_threshs, crf_iters,
+                                      crf_dtype="bfloat16", crf_stride=1,
+                                      crf_tap_div=2.0, crf_full_stride=1,
+                                      crf_refine_iters=0, fp_cut=0.1):
+    """Predicted-labels variant: image-level labels are computed ON
+    DEVICE from the per-view cls logits — sigmoid, max over views,
+    threshold at FP_CUT_SCORE (reference infer_val.py:115-125) — so the
+    serving worker can dispatch the postprocess without first fetching
+    cls from the finisher thread (that fetch-before-dispatch serialised
+    the pipeline in non-GT runs the same way the GT path's
+    finisher-side dispatch once did).  Returns (preds (S,K,H,W) uint8,
+    labels (S, C-1) f32) — fetched together.
+
+    ``cls_list``: per-scale (S*vpi, C-1) logits from the fused bucket
+    programs, scale-major; vpi inferred from sum_maps' slot count."""
+    cls = jnp.stack(cls_list)                      # (ns, S*vpi, C-1)
+    ns, sv, c1 = cls.shape
+    s_slots = sum_maps.shape[0]
+    vpi = sv // s_slots
+    cls = cls.reshape(ns, s_slots, vpi, c1)
+    cls = cls.transpose(1, 0, 2, 3).reshape(s_slots, ns * vpi, c1)
+    sig = jax.nn.sigmoid(cls.astype(jnp.float32)).max(axis=1)
+    labels = (sig > fp_cut).astype(jnp.float32)
+    preds = jax.vmap(lambda s, l, w, i: _postprocess_one(
+        s, l, w, i, n_views=n_views, bg_pow=bg_pow, threshs=threshs,
+        crf_threshs=crf_threshs, crf_iters=crf_iters,
+        crf_dtype=crf_dtype, crf_stride=crf_stride,
+        crf_tap_div=crf_tap_div, crf_full_stride=crf_full_stride,
+        crf_refine_iters=crf_refine_iters))(
+        sum_maps, labels, windows, imgs_u8)
+    return preds, labels
+
+
 def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
                             bg_pow: float = 3.0,
                             crf_dtype: str = "bfloat16",
@@ -300,6 +339,22 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
             crf_full_stride=int(crf_full_stride),
             crf_refine_iters=int(crf_refine_iters))
 
+    def dispatch_group_cls(sum_maps, cls_list, windows, imgs_u8,
+                           n_views, fp_cut):
+        """Predicted-labels slot-batched dispatch: labels computed on
+        device from the per-scale cls logits; returns (preds device
+        (S,K,H,W) uint8, labels device (S,C-1) f32) unfetched."""
+        return _device_postprocess_group_cls_jit(
+            sum_maps, tuple(cls_list),
+            jnp.asarray(windows, jnp.int32), jnp.asarray(imgs_u8),
+            n_views=int(n_views), bg_pow=float(bg_pow), threshs=threshs,
+            crf_threshs=crf_threshs, crf_iters=int(crf_iters),
+            crf_dtype=str(crf_dtype), crf_stride=int(crf_stride),
+            crf_tap_div=float(crf_tap_div),
+            crf_full_stride=int(crf_full_stride),
+            crf_refine_iters=int(crf_refine_iters),
+            fp_cut=float(fp_cut))
+
     def pp(sum_map, labels, window, img_u8, size_hw, n_views):
         preds = np.asarray(jax.device_get(
             dispatch(sum_map, labels, window, img_u8, n_views)))
@@ -307,6 +362,7 @@ def make_device_postprocess(threshs, crf_threshs, crf_iters: int = 10,
 
     pp.dispatch = dispatch
     pp.dispatch_group = dispatch_group
+    pp.dispatch_group_cls = dispatch_group_cls
     pp.finalize = finalize
     return pp
 

@@ -153,16 +153,31 @@ class MultiScaleServer:
                     # uses the same shape
                     cs = self._mesh_round(min(
                         self.max_batch, self._pp_slot_cap(mh, mw, nc)))
-                    dev = self.postprocess.dispatch_group(
-                        self._put(jnp.zeros(
-                            (cs, mh, mw, nc), jnp.float32)),
-                        np.zeros((cs, nc - 1), np.float32),
-                        np.tile(np.asarray([0, 0, mh, mw], np.int32),
-                                (cs, 1)),
-                        self._put(jnp.zeros(
-                            (cs, mh, mw, 3), jnp.uint8)),
-                        self.views.num_views)
-                    np.asarray(jax.device_get(dev))
+                    zero_sums = self._put(jnp.zeros(
+                        (cs, mh, mw, nc), jnp.float32))
+                    zero_wn = np.tile(
+                        np.asarray([0, 0, mh, mw], np.int32), (cs, 1))
+                    zero_u8 = self._put(jnp.zeros(
+                        (cs, mh, mw, 3), jnp.uint8))
+                    if bool(self.cfg.USE_GT_LABELS):
+                        dev = self.postprocess.dispatch_group(
+                            zero_sums,
+                            np.zeros((cs, nc - 1), np.float32),
+                            zero_wn, zero_u8, self.views.num_views)
+                        np.asarray(jax.device_get(dev))
+                    else:
+                        # production path computes labels on device
+                        # from the per-scale cls logits — warm THAT
+                        # program
+                        vpi_d = 2 if self.views.flip else 1
+                        zero_cls = [jnp.zeros((cs * vpi_d, nc - 1),
+                                              cls.dtype)
+                                    for _ in shapes]
+                        dev = self.postprocess.dispatch_group_cls(
+                            zero_sums, zero_cls, zero_wn, zero_u8,
+                            self.views.num_views,
+                            float(self.cfg.FP_CUT_SCORE))
+                        np.asarray(jax.device_get(dev[0]))
         seen = set()
         pp_host_seen = set()
         dt = np.uint8 if self.uint8 else np.float32
@@ -408,7 +423,7 @@ class MultiScaleServer:
         # slice + re-stack pattern cost ~18 extra device dispatches per
         # group, and each dispatch enqueue pays a link round trip on
         # remote-attached chips (tools/bench_postprocess.py header)
-        sig_batches = []  # (gis, merge_hw, total (cap,mh,mw,C), u8|None)
+        sig_batches = []  # (gis, merge_hw, total, u8|None, cls_list)
         cls_calls = []  # (cls (cap*vpi, C-1) device, gis, si)
         for shapes, gis in sig.items():
             dstwin = np.zeros((cap, 4), np.int32)
@@ -417,6 +432,7 @@ class MultiScaleServer:
             dst_dev = self._put(jnp.asarray(dstwin))
             total = None
             u8 = None
+            cls_list = []
             for si, shp in enumerate(shapes):
                 vwin = np.zeros((cap, 4), np.int32)
                 for gi in gis:
@@ -428,13 +444,15 @@ class MultiScaleServer:
                     merge_hw=tuple(shapes[0]))
                 total = part if total is None else total + part
                 cls_calls.append((cls, gis, si))
+                cls_list.append(cls)
                 if si == 0 and self.postprocess is not None:
                     # raw scale-1.0 pixels for the postprocess CRF,
                     # kept on device
                     u8 = build_views_u8(orig_dev, owin_dev, vw_dev,
                                         out_hw=tuple(shp),
                                         flip_pair=False)
-            sig_batches.append((gis, tuple(shapes[0]), total, u8))
+            sig_batches.append((gis, tuple(shapes[0]), total, u8,
+                                cls_list))
         t3 = _time.perf_counter()
 
         # everything device-side is dispatched before any fetch; with GT
@@ -460,6 +478,32 @@ class MultiScaleServer:
                 tf0 = _time.perf_counter()
                 self._finalize_postprocess(group, per_image, pending,
                                            labels_all)
+                if dbg:
+                    print(f"[serving] n={n} finish "
+                          f"{1e3*(_time.perf_counter()-tf0):.0f} ms",
+                          flush=True)
+
+            self._submit_finish(group, finish)
+            return
+        if self.postprocess is not None and \
+                not bool(self.cfg.USE_GT_LABELS):
+            # predicted labels compute ON DEVICE inside the postprocess
+            # program (sigmoid-max-threshold over the per-view cls,
+            # reference infer_val.py:115-125) — the worker dispatches
+            # immediately; labels come back with the preds fetch
+            pending = self._dispatch_postprocess_cls(per_image,
+                                                     sig_batches)
+            t4 = _time.perf_counter()
+            if dbg:
+                print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
+                      f"{1e3*(t2-t1):.0f} dispatch {1e3*(t3-t2):.0f} pp "
+                      f"{1e3*(t4-t3):.0f} ms (device labels)",
+                      flush=True)
+
+            def finish():
+                tf0 = _time.perf_counter()
+                self._finalize_postprocess_cls(group, per_image,
+                                               pending)
                 if dbg:
                     print(f"[serving] n={n} finish "
                           f"{1e3*(_time.perf_counter()-tf0):.0f} ms",
@@ -640,7 +684,7 @@ class MultiScaleServer:
         from wseg_tpu.engine.infer import finalize_device_merge
 
         if self.postprocess is None:
-            for gis, _, total, _ in sig_batches:
+            for gis, _, total, _, _ in sig_batches:
                 for gi in gis:
                     _, pads, _, size_hw = per_image[gi]
                     merged = finalize_device_merge(
@@ -683,7 +727,7 @@ class MultiScaleServer:
 
         nc1 = len(labels_all[0])
         pending = []
-        for gis, _, total, u8 in sig_batches:
+        for gis, _, total, u8, _ in sig_batches:
             cap, mh, mw = total.shape[0], total.shape[1], total.shape[2]
             lb = np.zeros((cap, nc1), np.float32)
             wn = np.zeros((cap, 4), np.int32)
@@ -729,3 +773,55 @@ class MultiScaleServer:
                 res = self.postprocess.finalize(
                     preds[rows[gi]], pads[0], size_hw)
                 group[gi][2].set_result((res, labels_all[gi]))
+
+    def _dispatch_postprocess_cls(self, per_image, sig_batches):
+        """Predicted-labels dispatch: labels computed inside the device
+        program from the per-scale cls logits (no cls fetch before the
+        postprocess).  Same HBM-budget chunking as the GT path; cls rows
+        chunk as [st*vpi : (st+cs)*vpi].  Returns [(gis, row-map,
+        (preds, labels) device pair)]."""
+        vpi = 2 if self.views.flip else 1
+        fp_cut = float(self.cfg.FP_CUT_SCORE)
+        pending = []
+        for gis, _, total, u8, cls_list in sig_batches:
+            cap, mh, mw, nc = total.shape
+            wn = np.zeros((cap, 4), np.int32)
+            for gi in gis:
+                wn[gi] = per_image[gi][1][0]
+            cs = self._mesh_round(
+                min(cap, self._pp_slot_cap(mh, mw, nc)))
+            if cs >= cap:
+                dev = self.postprocess.dispatch_group_cls(
+                    total, cls_list, wn, u8, self.views.num_views,
+                    fp_cut)
+                rows = {gi: gi for gi in gis}
+                pending.append((gis, rows, dev))
+                continue
+            starts = sorted({min(s, cap - cs)
+                             for s in range(0, cap, cs)})
+            for st in starts:
+                sub = [gi for gi in gis if st <= gi < st + cs
+                       and not any(s2 <= gi < s2 + cs
+                                   for s2 in starts if s2 < st)]
+                if not sub:
+                    continue
+                cls_chunk = [c[st * vpi:(st + cs) * vpi]
+                             for c in cls_list]
+                dev = self.postprocess.dispatch_group_cls(
+                    self._put(total[st:st + cs]), cls_chunk,
+                    wn[st:st + cs], self._put(u8[st:st + cs]),
+                    self.views.num_views, fp_cut)
+                rows = {gi: gi - st for gi in sub}
+                pending.append((sub, rows, dev))
+        return pending
+
+    def _finalize_postprocess_cls(self, group, per_image, pending):
+        for gis, rows, dev in pending:
+            preds, labels = jax.device_get(dev)
+            preds = np.asarray(preds)
+            labels = np.asarray(labels, np.float32)
+            for gi in gis:
+                _, pads, _, size_hw = per_image[gi]
+                res = self.postprocess.finalize(
+                    preds[rows[gi]], pads[0], size_hw)
+                group[gi][2].set_result((res, labels[rows[gi]]))
