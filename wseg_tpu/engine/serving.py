@@ -697,6 +697,23 @@ class MultiScaleServer:
                                              labels_all)
         self._finalize_postprocess(group, per_image, pending, labels_all)
 
+    @staticmethod
+    def _chunk_starts(cap: int, cs: int, gis):
+        """Static-shape chunk partition: start offsets covering [0, cap)
+        with stride cs (last chunk re-covers earlier rows), plus each
+        chunk's owned subset of ``gis`` (first chunk containing a row
+        owns it)."""
+        starts = sorted({min(s, cap - cs) for s in range(0, cap, cs)})
+        out = []
+        owned = set()
+        for st in starts:
+            sub = [gi for gi in gis
+                   if st <= gi < st + cs and gi not in owned]
+            owned.update(sub)
+            if sub:
+                out.append((st, sub))
+        return out
+
     def _mesh_round(self, cs: int) -> int:
         """Round a chunk size DOWN to a multiple of the mesh data axis
         (>= one per device) so chunked postprocess dispatches keep the
@@ -748,14 +765,7 @@ class MultiScaleServer:
                     rows = {gi: gi for gi in gis}
                 pending.append((gis, rows, dev))
                 continue
-            starts = sorted({min(s, cap - cs)
-                             for s in range(0, cap, cs)})
-            for st in starts:
-                sub = [gi for gi in gis if st <= gi < st + cs
-                       and not any(s2 <= gi < s2 + cs
-                                   for s2 in starts if s2 < st)]
-                if not sub:
-                    continue
+            for st, sub in self._chunk_starts(cap, cs, gis):
                 dev = self.postprocess.dispatch_group(
                     self._put(total[st:st + cs]), lb[st:st + cs],
                     wn[st:st + cs], self._put(u8[st:st + cs]),
@@ -797,14 +807,7 @@ class MultiScaleServer:
                 rows = {gi: gi for gi in gis}
                 pending.append((gis, rows, dev))
                 continue
-            starts = sorted({min(s, cap - cs)
-                             for s in range(0, cap, cs)})
-            for st in starts:
-                sub = [gi for gi in gis if st <= gi < st + cs
-                       and not any(s2 <= gi < s2 + cs
-                                   for s2 in starts if s2 < st)]
-                if not sub:
-                    continue
+            for st, sub in self._chunk_starts(cap, cs, gis):
                 cls_chunk = [c[st * vpi:(st + cs) * vpi]
                              for c in cls_list]
                 dev = self.postprocess.dispatch_group_cls(
