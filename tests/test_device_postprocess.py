@@ -168,15 +168,21 @@ def test_device_labels_match_host_labels():
                                   res_gt[0.0]["pred"])
 
 
-def test_chunked_postprocess_matches_unchunked(monkeypatch):
+@pytest.mark.parametrize("use_gt", [True, False],
+                         ids=["gt-labels", "device-labels"])
+def test_chunked_postprocess_matches_unchunked(monkeypatch, use_gt):
     """HBM-budget chunking (_pp_slot_cap small -> several postprocess
     dispatches per group) must produce the same per-image results as
-    one full-group dispatch, with every future resolving."""
+    one full-group dispatch, with every future resolving — for BOTH
+    labels sources (GT rides as a host array; predicted labels compute
+    inside the program, so chunking also slices the per-scale cls rows
+    by slot*views-per-image)."""
     model, variables = _setup(uint8=True)
     cfg.TEST.DEVICE_MERGE = True
     cfg.TEST.DEVICE_VIEWS = True
+    cfg.TEST.USE_GT_LABELS = use_gt
     imgs = [_image(10 + i) for i in range(4)]
-    gt = np.ones(20, np.float32)
+    gt = np.ones(20, np.float32) if use_gt else None
 
     def run(slot_cap):
         if slot_cap is not None:
@@ -190,13 +196,14 @@ def test_chunked_postprocess_matches_unchunked(monkeypatch):
         srv.warmup([im.size for im in imgs])
         try:
             futs = [srv.submit(im, gt) for im in imgs]
-            return [f.result(timeout=300)[0] for f in futs]
+            return [f.result(timeout=300) for f in futs]
         finally:
             srv.close()
 
     full = run(None)
     chunked = run(2)  # 4-slot group -> two 2-slot dispatches
-    for a, b in zip(full, chunked):
+    for (a, la), (b, lb) in zip(full, chunked):
+        np.testing.assert_array_equal(la, lb)
         for t in (0.0, 0.3):
             np.testing.assert_array_equal(a[t]["pred"], b[t]["pred"])
 

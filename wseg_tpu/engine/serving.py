@@ -170,9 +170,9 @@ class MultiScaleServer:
                         # from the per-scale cls logits — warm THAT
                         # program
                         vpi_d = 2 if self.views.flip else 1
-                        zero_cls = [jnp.zeros((cs * vpi_d, nc - 1),
-                                              cls.dtype)
-                                    for _ in shapes]
+                        zero_cls = [self._put(jnp.zeros(
+                            (cs * vpi_d, nc - 1), cls.dtype))
+                            for _ in shapes]
                         dev = self.postprocess.dispatch_group_cls(
                             zero_sums, zero_cls, zero_wn, zero_u8,
                             self.views.num_views,
@@ -424,7 +424,6 @@ class MultiScaleServer:
         # group, and each dispatch enqueue pays a link round trip on
         # remote-attached chips (tools/bench_postprocess.py header)
         sig_batches = []  # (gis, merge_hw, total, u8|None, cls_list)
-        cls_calls = []  # (cls (cap*vpi, C-1) device, gis, si)
         for shapes, gis in sig.items():
             dstwin = np.zeros((cap, 4), np.int32)
             for gi in gis:
@@ -443,7 +442,6 @@ class MultiScaleServer:
                     out_hw=tuple(shp), flip_pair=self.views.flip,
                     merge_hw=tuple(shapes[0]))
                 total = part if total is None else total + part
-                cls_calls.append((cls, gis, si))
                 cls_list.append(cls)
                 if si == 0 and self.postprocess is not None:
                     # raw scale-1.0 pixels for the postprocess CRF,
@@ -491,8 +489,8 @@ class MultiScaleServer:
             # program (sigmoid-max-threshold over the per-view cls,
             # reference infer_val.py:115-125) — the worker dispatches
             # immediately; labels come back with the preds fetch
-            pending = self._dispatch_postprocess_cls(per_image,
-                                                     sig_batches)
+            pending = self._dispatch_postprocess(per_image,
+                                                 sig_batches)
             t4 = _time.perf_counter()
             if dbg:
                 print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
@@ -502,8 +500,7 @@ class MultiScaleServer:
 
             def finish():
                 tf0 = _time.perf_counter()
-                self._finalize_postprocess_cls(group, per_image,
-                                               pending)
+                self._finalize_postprocess(group, per_image, pending)
                 if dbg:
                     print(f"[serving] n={n} finish "
                           f"{1e3*(_time.perf_counter()-tf0):.0f} ms",
@@ -521,6 +518,9 @@ class MultiScaleServer:
             if use_gt:
                 labels_all = [g[1].astype(np.float32) for g in group]
             else:
+                cls_calls = [(c, gis, si)
+                             for gis, _, _, _, cl in sig_batches
+                             for si, c in enumerate(cl)]
                 cls_np = jax.device_get([c for c, _, _ in cls_calls])
                 per_view_cls = [[None] * len(per_image[gi][1])
                                 for gi in range(n)]
@@ -735,61 +735,21 @@ class MultiScaleServer:
         per_slot = mh * mw * nc * 4 * 15
         return max(1, int(10e9 // per_slot))
 
-    def _dispatch_postprocess(self, per_image, sig_batches, labels_all):
+    def _dispatch_postprocess(self, per_image, sig_batches,
+                              labels_all=None):
         """Postprocess dispatches per view-shape signature — ONE when
         the canvas allows, HBM-budget-sized chunks otherwise (static
-        chunk shape: the last chunk re-covers earlier rows).  Returns
-        [(gis, row-map, device preds)] WITHOUT fetching."""
+        chunk shape: the last chunk re-covers earlier rows).
+
+        ``labels_all`` given: GT labels ride as a host array (program =
+        ``dispatch_group`` -> preds).  ``labels_all`` None: predicted
+        labels compute INSIDE the program from the per-scale cls logits
+        (program = ``dispatch_group_cls`` -> (preds, labels)).  One
+        shared implementation of the chunk/row/gather logic serves
+        both.  Returns [(gis, row-map, device result)] WITHOUT
+        fetching."""
         import jax.numpy as jnp
 
-        nc1 = len(labels_all[0])
-        pending = []
-        for gis, _, total, u8, _ in sig_batches:
-            cap, mh, mw = total.shape[0], total.shape[1], total.shape[2]
-            lb = np.zeros((cap, nc1), np.float32)
-            wn = np.zeros((cap, 4), np.int32)
-            for gi in gis:
-                lb[gi] = labels_all[gi]
-                wn[gi] = per_image[gi][1][0]
-            cs = self._mesh_round(
-                min(cap, self._pp_slot_cap(mh, mw, nc1 + 1)))
-            if cs >= cap:
-                dev = self.postprocess.dispatch_group(
-                    total, lb, wn, u8, self.views.num_views)
-                if len(gis) * 2 <= cap:
-                    # sparse signature: gather the live rows on device
-                    # rather than paying fetch bytes for the padding
-                    dev = dev[jnp.asarray(gis)]
-                    rows = {gi: k for k, gi in enumerate(gis)}
-                else:
-                    rows = {gi: gi for gi in gis}
-                pending.append((gis, rows, dev))
-                continue
-            for st, sub in self._chunk_starts(cap, cs, gis):
-                dev = self.postprocess.dispatch_group(
-                    self._put(total[st:st + cs]), lb[st:st + cs],
-                    wn[st:st + cs], self._put(u8[st:st + cs]),
-                    self.views.num_views)
-                rows = {gi: gi - st for gi in sub}
-                pending.append((sub, rows, dev))
-        return pending
-
-    def _finalize_postprocess(self, group, per_image, pending,
-                              labels_all):
-        for gis, rows, dev in pending:
-            preds = np.asarray(jax.device_get(dev))
-            for gi in gis:
-                _, pads, _, size_hw = per_image[gi]
-                res = self.postprocess.finalize(
-                    preds[rows[gi]], pads[0], size_hw)
-                group[gi][2].set_result((res, labels_all[gi]))
-
-    def _dispatch_postprocess_cls(self, per_image, sig_batches):
-        """Predicted-labels dispatch: labels computed inside the device
-        program from the per-scale cls logits (no cls fetch before the
-        postprocess).  Same HBM-budget chunking as the GT path; cls rows
-        chunk as [st*vpi : (st+cs)*vpi].  Returns [(gis, row-map,
-        (preds, labels) device pair)]."""
         vpi = 2 if self.views.flip else 1
         fp_cut = float(self.cfg.FP_CUT_SCORE)
         pending = []
@@ -798,33 +758,57 @@ class MultiScaleServer:
             wn = np.zeros((cap, 4), np.int32)
             for gi in gis:
                 wn[gi] = per_image[gi][1][0]
+            if labels_all is not None:
+                lb = np.zeros((cap, nc - 1), np.float32)
+                for gi in gis:
+                    lb[gi] = labels_all[gi]
+
+            def dispatch(st, n_rows):
+                sl = slice(st, st + n_rows)
+                tot = total if n_rows == cap else self._put(total[sl])
+                im = u8 if n_rows == cap else self._put(u8[sl])
+                if labels_all is not None:
+                    return self.postprocess.dispatch_group(
+                        tot, lb[sl], wn[sl], im, self.views.num_views)
+                cls = [self._put(c[st * vpi:(st + n_rows) * vpi])
+                       for c in cls_list]
+                return self.postprocess.dispatch_group_cls(
+                    tot, cls, wn[sl], im, self.views.num_views, fp_cut)
+
             cs = self._mesh_round(
                 min(cap, self._pp_slot_cap(mh, mw, nc)))
             if cs >= cap:
-                dev = self.postprocess.dispatch_group_cls(
-                    total, cls_list, wn, u8, self.views.num_views,
-                    fp_cut)
-                rows = {gi: gi for gi in gis}
+                dev = dispatch(0, cap)
+                if len(gis) * 2 <= cap:
+                    # sparse signature: gather the live rows on device
+                    # rather than paying fetch bytes for the padding
+                    idx = jnp.asarray(gis)
+                    dev = jax.tree.map(lambda a: a[idx], dev)
+                    rows = {gi: k for k, gi in enumerate(gis)}
+                else:
+                    rows = {gi: gi for gi in gis}
                 pending.append((gis, rows, dev))
                 continue
             for st, sub in self._chunk_starts(cap, cs, gis):
-                cls_chunk = [c[st * vpi:(st + cs) * vpi]
-                             for c in cls_list]
-                dev = self.postprocess.dispatch_group_cls(
-                    self._put(total[st:st + cs]), cls_chunk,
-                    wn[st:st + cs], self._put(u8[st:st + cs]),
-                    self.views.num_views, fp_cut)
                 rows = {gi: gi - st for gi in sub}
-                pending.append((sub, rows, dev))
+                pending.append((sub, rows, dispatch(st, cs)))
         return pending
 
-    def _finalize_postprocess_cls(self, group, per_image, pending):
+    def _finalize_postprocess(self, group, per_image, pending,
+                              labels_all=None):
+        """Fetch + resolve.  With device-computed labels the result is
+        a (preds, labels) pair fetched together."""
         for gis, rows, dev in pending:
-            preds, labels = jax.device_get(dev)
-            preds = np.asarray(preds)
-            labels = np.asarray(labels, np.float32)
+            if labels_all is None:
+                preds, labels = jax.device_get(dev)
+                preds = np.asarray(preds)
+                labels = np.asarray(labels, np.float32)
+            else:
+                preds = np.asarray(jax.device_get(dev))
             for gi in gis:
                 _, pads, _, size_hw = per_image[gi]
                 res = self.postprocess.finalize(
                     preds[rows[gi]], pads[0], size_hw)
-                group[gi][2].set_result((res, labels[rows[gi]]))
+                lab = (labels_all[gi] if labels_all is not None
+                       else labels[rows[gi]])
+                group[gi][2].set_result((res, lab))
