@@ -765,13 +765,18 @@ class MultiScaleServer:
 
             def dispatch(st, n_rows):
                 sl = slice(st, st + n_rows)
-                tot = total if n_rows == cap else self._put(total[sl])
-                im = u8 if n_rows == cap else self._put(u8[sl])
+                whole = n_rows == cap
+                tot = total if whole else self._put(total[sl])
+                im = u8 if whole else self._put(u8[sl])
                 if labels_all is not None:
                     return self.postprocess.dispatch_group(
                         tot, lb[sl], wn[sl], im, self.views.num_views)
-                cls = [self._put(c[st * vpi:(st + n_rows) * vpi])
-                       for c in cls_list]
+                # slice cls rows only when actually chunking — each
+                # device slice is an extra dispatch, and enqueues cost
+                # a link round trip on remote-attached chips
+                cls = cls_list if whole else [
+                    self._put(c[st * vpi:(st + n_rows) * vpi])
+                    for c in cls_list]
                 return self.postprocess.dispatch_group_cls(
                     tot, cls, wn[sl], im, self.views.num_views, fp_cut)
 
