@@ -232,3 +232,40 @@ def test_grain_records_per_pass_sharded():
     assert [make(i, True) for i in range(3)] == [3, 3, 3]
     assert [make(i, False) for i in range(3)] == [4, 3, 3]
     assert sum(make(i, False) for i in range(3)) == 10
+
+
+def test_threaded_loader_propagates_worker_errors():
+    """A dataset exception inside a worker thread must re-raise in the
+    consumer (previously the consumer waited forever on the missing
+    batch), and abandoning the iterator must release worker threads."""
+    import pytest
+
+    from wseg_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("corrupt image")
+            img = np.zeros((4, 4, 3), np.uint8)
+            return img, np.ones(20, np.float32), f"im{i}", \
+                np.zeros((4, 4), np.int32)
+
+    loader = DataLoader(Bad(), batch_size=2, shuffle=False,
+                        drop_last=True, num_workers=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        for _ in loader:
+            pass
+
+    # abandoning mid-epoch must not deadlock the next epoch
+    loader2 = DataLoader(Bad(), batch_size=2, shuffle=False,
+                         drop_last=True, num_workers=2)
+    it = iter(loader2)
+    next(it)
+    it.close()
+    n = sum(1 for _ in zip(range(2), iter(DataLoader(
+        Bad(), batch_size=1, shuffle=False, drop_last=True,
+        num_workers=1))))
+    assert n == 2

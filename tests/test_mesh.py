@@ -114,3 +114,20 @@ def test_2d_mesh_train_step_data_x_space():
         state, metrics = step(state, db, rng, jnp.asarray(1.0))
         loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
+
+
+def test_shard_leading_if_divisible_fallback():
+    """Divisible leading axes shard over 'data'; indivisible ones fall
+    back to an unsharded put instead of raising (ragged validation
+    tails, single-image inference batches)."""
+    import jax.numpy as jnp
+
+    from wseg_tpu.parallel.mesh import shard_leading_if_divisible
+
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+    ok = shard_leading_if_divisible(mesh, np.zeros((16, 4), np.float32))
+    assert len(ok.sharding.device_set) == 8
+    ragged = shard_leading_if_divisible(
+        mesh, np.zeros((9, 4), np.float32))
+    assert np.shape(ragged) == (9, 4)  # no ValueError, data intact
+    assert shard_leading_if_divisible(None, np.zeros(3)).shape == (3,)

@@ -65,4 +65,5 @@ def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
             seed=getattr(args, "random_seed", 0))
     return DataLoader(dataset, batch_size, shuffle=shuffle,
                       drop_last=drop_last,
-                      num_workers=workers or 1)
+                      num_workers=workers or 1,
+                      seed=getattr(args, "random_seed", 0))

@@ -53,7 +53,14 @@ class DataLoader:
         may only run ``prefetch`` batches ahead of the consumer (a
         permit per in-flight batch — without backpressure a fast worker
         pool decodes the whole epoch into memory).  Completion is
-        signalled on a condition variable; no polling."""
+        signalled on a condition variable; no polling.
+
+        Worker exceptions (corrupt image, collate failure) are stashed
+        per batch and re-raised in the consumer — a dead worker must
+        not leave the consumer waiting forever.  Abandoning the
+        iterator mid-epoch (exception in the training loop) releases
+        the workers via a stop flag in the generator's ``finally`` so
+        threads and buffered batches don't leak across retries."""
         batches = self._index_batches()
         self.epoch += 1
         results = {}
@@ -61,18 +68,25 @@ class DataLoader:
         permits = threading.Semaphore(max(1, self.prefetch))
         claim = iter(enumerate(batches))
         claim_lock = threading.Lock()
+        stop = threading.Event()
 
         def worker():
-            while True:
+            while not stop.is_set():
                 permits.acquire()
+                if stop.is_set():
+                    permits.release()
+                    return
                 with claim_lock:
                     try:
                         i, idx = next(claim)
                     except StopIteration:
                         permits.release()
                         return
-                samples = [self.dataset[int(k)] for k in idx]
-                batch = self._collate(samples)
+                try:
+                    samples = [self.dataset[int(k)] for k in idx]
+                    batch = self._collate(samples)
+                except BaseException as e:  # re-raised by the consumer
+                    batch = e
                 with cond:
                     results[i] = batch
                     cond.notify_all()
@@ -82,13 +96,21 @@ class DataLoader:
         for t in threads:
             t.start()
 
-        for next_i in range(len(batches)):
-            with cond:
-                while next_i not in results:
-                    cond.wait()
-                batch = results.pop(next_i)
-            permits.release()
-            yield batch
+        try:
+            for next_i in range(len(batches)):
+                with cond:
+                    while next_i not in results:
+                        cond.wait()
+                    batch = results.pop(next_i)
+                permits.release()
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            # wake any workers blocked on a permit
+            for _ in threads:
+                permits.release()
 
     @staticmethod
     def _collate(samples):

@@ -22,8 +22,7 @@ from wseg_tpu.engine.train_loop import (
     make_train_step,
 )
 from wseg_tpu.models import get_model
-from wseg_tpu.parallel import make_mesh, make_optimizer, replicate, \
-    shard_batch
+from wseg_tpu.parallel import make_mesh, make_optimizer, replicate
 from wseg_tpu.utils.checkpoints import Checkpoint, make_suffix, parse_suffix
 from wseg_tpu.utils.metrics import average_precision
 from wseg_tpu.utils.stat_manager import StatManager
@@ -184,8 +183,13 @@ class DecTrainer:
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch):
-        db = {"image": batch["image"], "labels": batch["labels"]}
-        return shard_batch(self.mesh, db)
+        # shard_leading_if_divisible rather than shard_batch: a batch
+        # whose leading axis doesn't divide the mesh data axis (e.g. a
+        # ragged tail from a non-dropping loader) falls back to an
+        # unsharded put instead of a device_put ValueError
+        from wseg_tpu.parallel.mesh import shard_leading_if_divisible
+        return {k: shard_leading_if_divisible(self.mesh, batch[k])
+                for k in ("image", "labels")}
 
     def _maybe_capture_fixed_batch(self, batch):
         """Persist the first training batch for epoch-over-epoch visual
@@ -196,7 +200,9 @@ class DecTrainer:
         self.fixed_batch = {"image": np.asarray(batch["image"]),
                             "labels": np.asarray(batch["labels"])}
         if path:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
             np.savez(path, **self.fixed_batch)
 
     def _visualise_fixed_batch(self, epoch: int):
@@ -246,6 +252,7 @@ class DecTrainer:
         buf = MetricBuffer(stat)
 
         profile_dir = getattr(self.args, "profile_dir", "")
+        profiling = False
         dbg = bool(os.environ.get("WSEG_DEBUG_STEPTIME"))
         import time as _time
         t_last = _time.perf_counter()
@@ -256,6 +263,7 @@ class DecTrainer:
                       flush=True)
             if profile_dir and epoch == self.start_epoch and i == 10:
                 jax.profiler.start_trace(profile_dir)
+                profiling = True
             self._maybe_capture_fixed_batch(batch)
             db = self._device_batch(batch)
             if dbg:
@@ -268,10 +276,11 @@ class DecTrainer:
                 t_last = _time.perf_counter()
                 print(f"[steptime] {i} dispatch {t_last - t1:.3f}",
                       flush=True)
-            if profile_dir and epoch == self.start_epoch and i == 20:
+            if profiling and i == 20:
                 jax.profiler.stop_trace()
                 print("Profiler trace written to", profile_dir)
                 profile_dir = ""
+                profiling = False
 
             if i % 10 == 0:
                 last = buf.flush()
@@ -310,11 +319,32 @@ class DecTrainer:
         # and cls logits are fetched in batched transfers every 10 steps
         buf = MetricBuffer(stat)
         targets = []
+        bs_full = None
         for i, batch in enumerate(self.valloader):
+            n_real = int(np.shape(batch["labels"])[0])
+            if bs_full is None:
+                bs_full = n_real
+            if n_real < bs_full:
+                # ragged tail (val loader keeps the remainder): pad to
+                # the static batch shape by repeating leading rows —
+                # the P('data') sharding stays even and the jitted eval
+                # step is not retraced (a fresh WRN38 compile costs
+                # minutes on the relay).  cls rows are trimmed so mAP
+                # stays exact; only this one batch's mean metrics count
+                # the duplicated rows.
+                pad = bs_full - n_real
+                batch = dict(
+                    batch,
+                    image=np.concatenate(
+                        [batch["image"], batch["image"][:pad]]),
+                    labels=np.concatenate(
+                        [batch["labels"], batch["labels"][:pad]]))
             db = self._device_batch(batch)
             metrics, cls = self.eval_step(self.state, db)
+            if n_real != bs_full:
+                cls = cls[:n_real]
             buf.append(metrics, extra=cls)
-            targets.append(np.asarray(batch["labels"]))
+            targets.append(np.asarray(batch["labels"])[:n_real])
             if (i + 1) % 10 == 0:
                 buf.flush()
         buf.flush()

@@ -43,7 +43,8 @@ def _dx_groups(taps):
 def _bilateral_kernel(qp_ref, w_ref, out_ref, *, groups, pad, h, w):
     """One batch slot: out[c] = sum_k w[k] * shift(q, d_k)[c].
 
-    qp_ref: (1, C, Hp, Wp) zero-padded Q (bf16)
+    qp_ref: (1, C, Hp, Wp) zero-padded Q (f32 — Mosaic's dynamic
+      roll is 32-bit only, so the wrapper upcasts before padding)
     w_ref:  (1, T, H, W) per-tap weights (bf16)
     out_ref: (1, C, H, W) f32 message
     """
@@ -65,8 +66,10 @@ def bilateral_message_pallas(qn, weights, taps: Sequence[Tuple[int, int]]):
     """``msg(x) = sum_k weights_k(x) * qn(x + d_k)`` with zero fill.
 
     Args:
-      qn: (B, H, W, C) pre-scaled Q (Q * norm_b * valid), any float dtype
-        (computed in bf16 by the caller — message HBM traffic halves).
+      qn: (B, H, W, C) pre-scaled Q (Q * norm_b * valid), any float
+        dtype; upcast to f32 inside (Mosaic roll is 32-bit only) — the
+        bf16 saving applies to the tap WEIGHTS, which dominate the
+        VMEM/HBM budget at production tap counts.
       weights: (B, H, W, T) per-tap weights (spatial * colour * valid).
       taps: T static (dy, dx) displacements.
     Returns:
