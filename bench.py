@@ -109,10 +109,15 @@ def main():
     # WSEG_BENCH_NO_INT8=1.
     int8_img_per_sec = None
     if not os.environ.get("WSEG_BENCH_NO_INT8"):
-        cfg.NET.DTYPE = "int8"
-        int8_img_per_sec = timed_forward(get_model(cfg.NET,
-                                                   num_classes=21))
-        cfg.NET.DTYPE = "bfloat16"
+        try:
+            cfg.NET.DTYPE = "int8"
+            int8_img_per_sec = timed_forward(get_model(cfg.NET,
+                                                       num_classes=21))
+        except Exception as e:  # optional metric must not sink the run
+            print(f"int8 bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
+        finally:
+            cfg.NET.DTYPE = "bfloat16"
 
     e2e_img_per_sec = bench_e2e(model, variables)
 
