@@ -55,11 +55,12 @@ def main(argv):
     rng = jax.random.PRNGKey(0)
     from wseg_tpu.engine.train_loop import init_test_variables
     variables = init_test_variables(model, rng, (1, 128, 128, 3))
+    from wseg_tpu.utils.checkpoints import load_model_variables
     checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
-    found, states, _ = checkpoint.load(args.resume,
-                                       {"enc": variables["params"]})
+    found, variables = load_model_variables(checkpoint, args.resume,
+                                            dict(variables))
     if found:
-        variables = dict(variables, params=states["enc"])
+        print("Loaded snapshot", args.resume)
 
     image = Image.open(args.image_path).convert("RGB")
     arr = np.asarray(image, np.float32) / 255.0

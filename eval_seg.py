@@ -34,7 +34,13 @@ parser.add_argument("--log-scores", type=str, default="./scores.log")
 
 def oracle_lower(mask: np.ndarray, h: int, w: int,
                  alpha: float = 0.5) -> np.ndarray:
-    """GT down/up-scale oracle (reference eval_seg.py:192-215)."""
+    """GT down/up-scale oracle (reference eval_seg.py:192-215).
+
+    The reference uses scipy.misc.imresize, which RESCALES the 0/1
+    float mask to 0-255 uint8 (min-max normalisation) before both
+    resizes — so its ``mask_up > alpha`` with alpha=0.5 keeps any pixel
+    whose interpolated value rounds to >= 1/255.  Emulated here with
+    explicit x255 quantisation between the cv2 resizes."""
     import cv2
     new_mask = np.zeros_like(mask)
     H, W = mask.shape
@@ -43,6 +49,7 @@ def oracle_lower(mask: np.ndarray, h: int, w: int,
             continue
         m = (mask == label).astype(np.float32)
         down = cv2.resize(m, (w, h), interpolation=cv2.INTER_LINEAR)
+        down = np.clip(np.round(down * 255.0), 0, 255).astype(np.uint8)
         up = cv2.resize(down, (W, H), interpolation=cv2.INTER_LINEAR)
         new_mask[up > alpha] = label
     return new_mask
@@ -53,7 +60,8 @@ def evaluate_all(args):
     if args.oracle_from:
         oh, ow = (int(x) for x in args.oracle_from.split("x"))
         with_oracle = oh > 1 and ow > 1
-        print(f">>> Using oracle {oh}x{ow}")
+        if with_oracle:  # reference prints only when actually enabled
+            print(f">>> Using oracle {oh}x{ow}")
 
     M = np.zeros((21, 21))
     class_stats = {i: [] for i in range(21)}

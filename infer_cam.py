@@ -48,7 +48,7 @@ def main(argv):
     from wseg_tpu.data.pascal_voc import MEAN, STD, labels_from_mask, \
         read_filelist
     from wseg_tpu.engine.writers import ResultWriter
-    from wseg_tpu.gradcam import get_cam_method
+    from wseg_tpu.gradcam import aug_smooth, get_cam_method
     from wseg_tpu.models import get_model
     from wseg_tpu.utils.checkpoints import Checkpoint
 
@@ -59,11 +59,11 @@ def main(argv):
     sample = jnp.zeros((1, 128, 128, 3), jnp.float32)
     from wseg_tpu.engine.train_loop import init_test_variables
     variables = init_test_variables(model, rng, sample.shape)
+    from wseg_tpu.utils.checkpoints import load_model_variables
     checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
-    found, states, _ = checkpoint.load(args.resume,
-                                       {"enc": variables["params"]})
+    found, variables = load_model_variables(checkpoint, args.resume,
+                                            dict(variables))
     if found:
-        variables = dict(variables, params=states["enc"])
         print("Loaded snapshot", args.resume)
     else:
         print("WARNING: snapshot not found, using random init")
@@ -81,8 +81,9 @@ def main(argv):
         image = Image.open(img_path).convert("RGB")
         gt_mask = np.asarray(Image.open(mask_path), np.int32) \
             if mask_path and os.path.isfile(mask_path) else None
-        labels = labels_from_mask(gt_mask) if gt_mask is not None else \
-            np.ones(num_classes - 1, np.float32)
+        labels = (labels_from_mask(gt_mask, num_class=num_classes)
+                  if gt_mask is not None
+                  else np.ones(num_classes - 1, np.float32))
 
         arr = (np.asarray(image, np.float32) / 255.0 - mean) / std
         h, w = arr.shape[:2]
@@ -96,8 +97,17 @@ def main(argv):
         x = arr_in[None]
         masks_pred = np.zeros((h, w, num_classes), np.float32)
         for label in np.nonzero(labels)[0]:
-            m = cam(x, target_category=int(label),
-                    eigen_smooth=args.eigen_smooth)
+            if args.aug_smooth:
+                m = aug_smooth(cam, x, target_category=int(label),
+                               eigen_smooth=args.eigen_smooth)
+            else:
+                m = cam(x, target_category=int(label),
+                        eigen_smooth=args.eigen_smooth)
+            m = np.asarray(m)
+            if m.ndim == 4:  # guidedbackprop returns (B, H, W, 3)
+                g = np.abs(m).max(-1)
+                rng = g.max() - g.min()
+                m = (g - g.min()) / (rng if rng > 0 else 1.0)
             masks_pred[..., int(label) + 1] = m[0, :h, :w]
 
         image01 = np.asarray(image, np.float32) / 255.0

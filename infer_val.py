@@ -58,11 +58,11 @@ def main(argv):
             str(cfg.NET.BACKBONE))
         print("Converted torch snapshot", resume)
     else:
+        from wseg_tpu.utils.checkpoints import load_model_variables
         checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
-        found, states, _ = checkpoint.load(args.resume,
-                                           {"enc": variables["params"]})
+        found, variables = load_model_variables(checkpoint, args.resume,
+                                                dict(variables))
         if found:
-            variables = dict(variables, params=states["enc"])
             print("Loaded snapshot", args.resume)
         else:
             print("WARNING: snapshot not found, using random init")
@@ -102,8 +102,10 @@ def main(argv):
         image = Image.open(img_path).convert("RGB")
         gt_mask = np.asarray(Image.open(mask_path), np.int32) \
             if mask_path and os.path.isfile(mask_path) else None
-        gt_labels = labels_from_mask(gt_mask) if gt_mask is not None \
-            else np.zeros(int(cfg.TEST.NUM_CLASSES) - 1, np.float32)
+        gt_labels = (labels_from_mask(
+            gt_mask, num_class=int(cfg.TEST.NUM_CLASSES))
+            if gt_mask is not None
+            else np.zeros(int(cfg.TEST.NUM_CLASSES) - 1, np.float32))
         return image, gt_mask, gt_labels
 
     def progress(i):
@@ -167,6 +169,11 @@ def main(argv):
 
         inflight = deque()
         for i, (img_path, mask_path) in enumerate(entries):
+            # bound the writer-future queue like the slow path: a slow
+            # PNG/vis pool must apply backpressure, not buffer every
+            # pending image in host memory
+            while len(futures) > 4 * n_workers:
+                futures.popleft().result()
             image, gt_mask, gt_labels = read_entry(img_path, mask_path)
             # the float image is only touched by the vis-overlay branch
             # (needs a gt_mask); skip the (H,W,3) f32 conversion otherwise

@@ -268,3 +268,41 @@ def test_metric_buffer_batched_fetch():
     np.testing.assert_array_equal(rows[:, 0],
                                   np.repeat(np.arange(5.0), 2))
     assert buf.flush() == last  # empty flush is a no-op
+
+
+def test_checkpoint_roundtrips_batch_stats(tmp_path):
+    """Live-BatchNorm models carry batch_stats; the checkpoint saves
+    them as enc_bn and load_model_variables restores them (the
+    reference persists BN buffers inside the torch state_dict).  Older
+    params-only snapshots still load (stats notice, not an error)."""
+    import numpy as np
+
+    from wseg_tpu.utils.checkpoints import (
+        Checkpoint,
+        load_model_variables,
+        make_suffix,
+    )
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    stats = {"bn": {"mean": np.full((2,), 3.0, np.float32)}}
+    ck = Checkpoint(str(tmp_path), max_n=2)
+    ck.add_model("enc", params)
+    ck.add_model("enc_bn", stats)
+    sfx = make_suffix(1, 0.5)
+    ck.checkpoint(sfx, {"enc": {"w": params["w"] * 2},
+                        "enc_bn": {"bn": {"mean": stats["bn"]["mean"]
+                                          * 2}}})
+
+    variables = {"params": params, "batch_stats": stats}
+    found, out = load_model_variables(ck, sfx, dict(variables))
+    assert found
+    np.testing.assert_array_equal(out["params"]["w"], 2.0)
+    np.testing.assert_array_equal(out["batch_stats"]["bn"]["mean"], 6.0)
+
+    # params-only snapshot (old format): loads, stats stay at init
+    ck2 = Checkpoint(str(tmp_path / "old"), max_n=2)
+    ck2.add_model("enc", params)
+    ck2.checkpoint(sfx, {"enc": params})
+    found, out = load_model_variables(ck2, sfx, dict(variables))
+    assert found
+    np.testing.assert_array_equal(out["batch_stats"]["bn"]["mean"], 3.0)

@@ -138,6 +138,11 @@ class DecTrainer:
         self.checkpoint = Checkpoint(args.snapshot_dir, max_n=5)
         self.checkpoint.add_model("enc", self.state.params,
                                   self.state.opt_state)
+        # live-BatchNorm models (ae decoder/GCI) carry batch statistics
+        # the reference persists inside the torch state_dict; store them
+        # as a separate enc_bn tree
+        if self.state.batch_stats:
+            self.checkpoint.add_model("enc_bn", self.state.batch_stats)
         self.best_score = -1e16
         if getattr(args, "resume", None):
             found, states, opts = self.checkpoint.load(
@@ -147,6 +152,13 @@ class DecTrainer:
                 self.state = self.state.replace(params=states["enc"])
                 if "enc" in opts:
                     self.state = self.state.replace(opt_state=opts["enc"])
+                if self.state.batch_stats:
+                    ok_bn, st_bn, _ = self.checkpoint.load(
+                        args.resume,
+                        {"enc_bn": self.state.batch_stats})
+                    if ok_bn:
+                        self.state = self.state.replace(
+                            batch_stats=st_bn["enc_bn"])
                 epoch, score = parse_suffix(args.resume)
                 self.best_score = score
                 if self.start_epoch == 0:
@@ -377,8 +389,10 @@ class DecTrainer:
             suffix = make_suffix(epoch, score)
             params = jax.device_get(self.state.params)
             opt = jax.device_get(self.state.opt_state)
-            self.checkpoint.checkpoint(suffix, {"enc": params},
-                                       {"enc": opt})
+            states = {"enc": params}
+            if self.state.batch_stats:
+                states["enc_bn"] = jax.device_get(self.state.batch_stats)
+            self.checkpoint.checkpoint(suffix, states, {"enc": opt})
             print("Saved checkpoint", suffix)
             return True
         return False

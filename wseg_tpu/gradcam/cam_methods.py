@@ -329,6 +329,13 @@ class GuidedBackprop:
     uses_gradients = True
 
     def __init__(self, model, variables, tap: str = "conv6"):
+        if getattr(model, "backbone_dtype", None) == "int8":
+            # same guard as the gradient-based BaseCAM engines: round()
+            # in the quantized convs has zero gradient
+            raise ValueError(
+                "GuidedBackprop needs a differentiable model; "
+                "NET.DTYPE 'int8' is inference-only — use 'bfloat16'")
+
         def score_fn(variables, image, target):
             out = model.apply(variables, image, train=False)
             # TRACED target (one-hot dot, like _acts_grads_jit): one

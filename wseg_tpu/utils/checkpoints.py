@@ -117,3 +117,38 @@ class Checkpoint:
         if suffix not in self.checkpoints:
             self.checkpoints.insert(0, suffix)
         return True, states, opts
+
+
+def load_model_variables(checkpoint: "Checkpoint", suffix: Optional[str],
+                         variables: Dict[str, Any]):
+    """Load the "enc" params and, when present, the "enc_bn" batch
+    statistics into a Flax ``variables`` dict.
+
+    Models with live BatchNorm (the 'ae' decoder/GCI family) carry a
+    ``batch_stats`` collection that the reference persists inside the
+    torch state_dict; here it is a separate ``model_enc_bn_*`` file
+    (written by the trainer only when the collection is non-empty).
+    Older snapshots without the file load params-only with a notice —
+    inference then runs on init statistics, which is wrong for those
+    models, so train-era snapshots should be regenerated.
+
+    Returns (found, variables).
+    """
+    found, states, _ = checkpoint.load(suffix,
+                                       {"enc": variables["params"]})
+    if not found:
+        return False, variables
+    variables = dict(variables, params=states["enc"])
+    bs = variables.get("batch_stats")
+    if bs:
+        p_bn = checkpoint._full(
+            checkpoint._filename("model", "enc_bn", suffix))
+        if os.path.isfile(p_bn):
+            with open(p_bn, "rb") as f:
+                variables = dict(variables,
+                                 batch_stats=flax.serialization.from_bytes(
+                                     bs, f.read()))
+        else:
+            print("NOTE: snapshot has no enc_bn file; this model has "
+                  "live BatchNorm and will run on init statistics")
+    return True, variables

@@ -216,6 +216,15 @@ def _place(flat_params, flat_stats, sd, torch_prefix, flax_path, kind,
     rm = sd.get(torch_prefix + ".running_mean")
     rv = sd.get(torch_prefix + ".running_var")
 
+    if w is None and b is None and rm is None and rv is None:
+        # the mapped module is entirely absent from the checkpoint —
+        # a variant mismatch that strict mode must surface (silently
+        # skipping leaves the mapped head params at random init)
+        msg = f"checkpoint has no tensors for {torch_prefix}"
+        if problems is not None:
+            problems.append(msg)
+        print(f"  convert: {msg}")
+
     if kind in ("conv", "conv_bias"):
         if w is not None:
             put(flat_params, "kernel", _conv_kernel(w))
@@ -269,7 +278,8 @@ def load_reference_checkpoint(variables, pth_path: str, model_name: str,
     """
     sd = _load_state_dict(pth_path)
     params = dict(variables["params"])
-    new_params = load_pretrained_backbone(params, pth_path, backbone)
+    new_params = load_pretrained_backbone(params, pth_path, backbone,
+                                          state_dict=sd)
 
     flat_params = dict(trav.flatten_dict(new_params))
     stats = variables.get("batch_stats", {})
@@ -293,13 +303,18 @@ def load_reference_checkpoint(variables, pth_path: str, model_name: str,
     return out
 
 
-def load_pretrained_backbone(params, pth_path: str, backbone: str):
+def load_pretrained_backbone(params, pth_path: str, backbone: str,
+                             state_dict=None):
     """Copy matching tensors from a torch checkpoint into ``params``.
 
     Non-matching keys are skipped (the reference loads with strict=False,
     base_net.py:42-45).  Returns the updated params pytree.
+    ``state_dict`` reuses an already-deserialised checkpoint (the
+    released WRN38 .pth is ~527 MB — loading it twice doubles peak host
+    memory).
     """
-    sd = _load_state_dict(pth_path)
+    sd = state_dict if state_dict is not None else \
+        _load_state_dict(pth_path)
     flat = dict(trav.flatten_dict(params))
     loaded, skipped = 0, []
     for name, w in sd.items():
