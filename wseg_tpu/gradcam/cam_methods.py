@@ -265,7 +265,14 @@ class ScoreCAM(BaseCAM):
 
 class AblationCAM(BaseCAM):
     """Gradient-free: weight_k = (score - score_with_channel_k_zeroed) /
-    score (ablation_cam.py:8-105), channels ablated in batched chunks."""
+    score (ablation_cam.py:8-105), channels ablated in batched chunks.
+
+    ``ratio_channels_to_ablate`` is accepted for API parity with the
+    reference but intentionally ignored: every channel is always
+    ablated (the exact method).  The reference's <1.0 ratio samples a
+    channel subset as a speed/fidelity trade; here the ablation
+    forwards are batched jitted programs, so the exact pass is cheap
+    enough to keep as the only behaviour."""
     uses_gradients = False
 
     def __init__(self, model, variables, tap="conv6", batch_size: int = 16,

@@ -71,8 +71,7 @@ def _torch_name_to_flax_path(name: str, backbone: str):
         # resnet38 (mxnet-converted) and vgg16 use flat names matching our
         # module names directly (conv1a, b2.bn_branch2a, conv5_3, fc6...)
         flax_mod = mods
-        is_bn = any(m.startswith("bn") for m in mods[-1:]) or \
-            (len(mods) >= 1 and mods[-1].startswith("bn"))
+        is_bn = bool(mods) and mods[-1].startswith("bn")
 
     if is_bn:
         mapped = _BN_LEAF.get(leaf)
