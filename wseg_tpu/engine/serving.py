@@ -235,6 +235,23 @@ class MultiScaleServer:
         self._q.put(None)
         self._worker.join(timeout=10)
         self._finisher.shutdown(wait=True)
+        # Fail anything the worker never got to (still stashed/queued
+        # at shutdown) so callers blocked on Future.result() without a
+        # timeout unblock deterministically instead of hanging.
+        orphans = list(self._stash)
+        self._stash.clear()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                orphans.append(item)
+        for _, _, fut in orphans:
+            if not fut.done():
+                fut.set_exception(
+                    RuntimeError("MultiScaleServer closed before this "
+                                 "image was processed"))
 
     # ---------------------------------------------------------- worker
     def _group_sig(self, image):
@@ -721,6 +738,19 @@ class MultiScaleServer:
         if self.mesh is None:
             return cs
         nd = int(self.mesh.shape["data"])
+        if nd > cs:
+            # the mesh data axis exceeds the HBM-budgeted slot cap: the
+            # dispatch cannot be both sharded-even AND within budget.
+            # Round UP to one slot per device (sharding halves the
+            # per-device canvas anyway) but say so — a silent 2x over
+            # budget is how 20 GB programs land on 16 GB chips.
+            import warnings
+            warnings.warn(
+                "postprocess chunk rounded UP to %d slots (mesh data "
+                "axis) past the HBM-budgeted cap of %d; if sharding "
+                "does not split the CRF working set evenly this "
+                "program may exceed the per-chip HBM budget" % (nd, cs))
+            return nd
         return max(nd, cs - cs % nd)
 
     @staticmethod

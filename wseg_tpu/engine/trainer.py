@@ -344,13 +344,16 @@ class DecTrainer:
                 # minutes on the relay).  cls rows are trimmed so mAP
                 # stays exact; only this one batch's mean metrics count
                 # the duplicated rows.
-                pad = bs_full - n_real
+                # Tile whole copies: a tail smaller than bs_full/2 (e.g.
+                # VOC val 1449 % 8 == 1) must still fill all bs_full rows
+                # or the shape differs and the step retraces anyway.
+                reps = -(-bs_full // n_real)
                 batch = dict(
                     batch,
                     image=np.concatenate(
-                        [batch["image"], batch["image"][:pad]]),
+                        [batch["image"]] * reps)[:bs_full],
                     labels=np.concatenate(
-                        [batch["labels"], batch["labels"][:pad]]))
+                        [batch["labels"]] * reps)[:bs_full])
             db = self._device_batch(batch)
             metrics, cls = self.eval_step(self.state, db)
             if n_real != bs_full:
