@@ -113,6 +113,41 @@ int wseg_densecrf_inference(const uint8_t* img, int H, int W, int C,
   return 0;
 }
 
+// ---- lattice-table export for the TPU-resident exact CRF -------------
+//
+// The device mean-field path (wseg_tpu/ops/crf_lattice.py) runs every
+// splat/blur/slice on the TPU; the host only builds the lattice tables
+// (hashing is the one data-dependent, TPU-hostile step).  Two-call
+// protocol: build returns a handle + M, export copies the tables into
+// caller buffers sized from M, free releases the handle.
+
+void* wseg_permutohedral_build(const float* features, int d, int N,
+                               int* M_out) {
+  auto* lat = new wseg::Permutohedral();
+  lat->init(features, d, N);
+  *M_out = lat->num_lattice_points();
+  return lat;
+}
+
+// offsets: N*(d+1) int32, barycentric: N*(d+1) float,
+// blur_neighbors: (d+1)*M*2 int32 (missing neighbour encoded as M).
+int wseg_permutohedral_export(void* handle, int32_t* offsets,
+                              float* barycentric,
+                              int32_t* blur_neighbors) {
+  auto* lat = static_cast<wseg::Permutohedral*>(handle);
+  const auto& off = lat->offsets();
+  const auto& bar = lat->barycentrics();
+  const auto& nbr = lat->blur_neighbor_ids();
+  std::copy(off.begin(), off.end(), offsets);
+  std::copy(bar.begin(), bar.end(), barycentric);
+  std::copy(nbr.begin(), nbr.end(), blur_neighbors);
+  return 0;
+}
+
+void wseg_permutohedral_free(void* handle) {
+  delete static_cast<wseg::Permutohedral*>(handle);
+}
+
 // Raw permutohedral filtering (for tests): features d x N, values C x N.
 int wseg_permutohedral_filter(const float* features, int d, int N,
                               const float* values, int C, float* out) {

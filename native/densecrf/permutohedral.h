@@ -25,6 +25,17 @@ class Permutohedral {
   void compute(float* out, const float* in, int value_size) const;
 
   int num_lattice_points() const { return M_; }
+  int dim() const { return d_; }
+
+  // table accessors for the TPU-resident mean-field path: the lattice is
+  // built once per image on the host, the splat/blur/slice tables are
+  // shipped to the device and every mean-field iteration runs there
+  // (wseg_tpu/ops/crf_lattice.py).
+  const std::vector<int32_t>& offsets() const { return offset_; }
+  const std::vector<float>& barycentrics() const { return barycentric_; }
+  const std::vector<int32_t>& blur_neighbor_ids() const {
+    return blur_neighbors_;
+  }
 
  private:
   int N_ = 0;   // number of positions

@@ -54,6 +54,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.wseg_permutohedral_build.restype = ctypes.c_void_p
+    lib.wseg_permutohedral_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.wseg_permutohedral_export.restype = ctypes.c_int
+    lib.wseg_permutohedral_export.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wseg_permutohedral_free.restype = None
+    lib.wseg_permutohedral_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -90,6 +102,42 @@ def crf_inference_native(img: np.ndarray, probs: np.ndarray, t: int = 10,
         float(compat_bilateral))
     assert ret == 0
     return out
+
+
+def build_lattice_tables(features: np.ndarray):
+    """Build the permutohedral lattice for ``features`` (N, d) float32 and
+    export its splat/blur/slice tables (native/densecrf/densecrf.cc
+    ``wseg_permutohedral_build/export``).
+
+    Returns ``(offsets (N, d+1) int32, barycentric (N, d+1) float32,
+    blur_neighbors (d+1, M, 2) int32, M)`` — missing neighbours are
+    encoded as ``M`` (the zero slot).  These tables are fixed per image;
+    the TPU mean-field path (ops/crf_lattice.py) uploads them once and
+    runs every filter application on device.
+    """
+    lib = _load()
+    assert lib is not None, "native densecrf unavailable"
+    N, d = features.shape
+    f = np.ascontiguousarray(features, np.float32)
+    m_out = ctypes.c_int(0)
+    handle = lib.wseg_permutohedral_build(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), d, N,
+        ctypes.byref(m_out))
+    assert handle, "lattice build failed"
+    M = int(m_out.value)
+    offsets = np.empty((N, d + 1), np.int32)
+    bary = np.empty((N, d + 1), np.float32)
+    nbr = np.empty((d + 1, M, 2), np.int32)
+    try:
+        ret = lib.wseg_permutohedral_export(
+            handle,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nbr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        assert ret == 0
+    finally:
+        lib.wseg_permutohedral_free(handle)
+    return offsets, bary, nbr, M
 
 
 def permutohedral_filter(features: np.ndarray,
