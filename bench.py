@@ -126,11 +126,18 @@ def main():
     # quick inference-only run via WSEG_BENCH_NO_TRAIN=1
     train = {}
     if not os.environ.get("WSEG_BENCH_NO_TRAIN"):
-        from bench_train import measure_train_step
+        from bench_train import measure_seam_step, measure_train_step
         for bs in (8, 16):
             step_ms, ips = measure_train_step(bs)
             train[f"train_step_ms_bs{bs}"] = round(step_ms, 1)
             train[f"train_imgs_per_sec_bs{bs}"] = round(ips, 3)
+        try:  # SEAM trainer cost (VERDICT r3 task 8) — optional metric
+            step_ms, ips = measure_seam_step(8)
+            train["seam_step_ms_bs8"] = round(step_ms, 1)
+            train["seam_imgs_per_sec_bs8"] = round(ips, 3)
+        except Exception as e:
+            print(f"seam bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
 
     result = {
         "metric": "multiscale_inference_images_per_sec_per_chip",

@@ -66,6 +66,50 @@ def measure_train_step(bs: int, crop: int = 384, n: int = 10):
     return dt * 1000.0, bs / dt
 
 
+def measure_seam_step(bs: int, crop: int = 384, n: int = 10):
+    """(step_ms, imgs_per_sec) for the SEAM train step (two forwards +
+    ER loss, reference train_SEAM.py:100-129), flagship config, both
+    phase losses active (mask_loss_on = er_on = 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.engine.seam import make_seam_train_step
+    from wseg_tpu.engine.train_loop import create_train_state, init_variables
+    from wseg_tpu.models import get_model
+    from wseg_tpu.parallel import make_optimizer
+
+    reset_cfg()
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "bfloat16"
+    cfg.NET.PAMR_IMPL = "auto"
+
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    host = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(host.rand(bs, crop, crop, 3), jnp.float32),
+        "labels": jnp.ones((bs, 20), jnp.float32),
+    }
+    variables = init_variables(model, rng, batch)
+    tx, _ = make_optimizer(cfg.NET, "resnet38", variables["params"])
+    state = create_train_state(model, tx, rng, batch, variables=variables)
+    step = make_seam_train_step(model, tx)
+    on = jnp.asarray(1.0)
+
+    state, metrics = step(state, batch, rng, on, on)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, rng, on, on)
+    final = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(final)
+    return dt * 1000.0, bs / dt
+
+
 def main():
     bs = int(os.environ.get("WSEG_BENCH_BS", "8"))
     crop = int(os.environ.get("WSEG_BENCH_CROP", "384"))

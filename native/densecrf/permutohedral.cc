@@ -5,25 +5,84 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
-#include <unordered_map>
 
 namespace wseg {
 namespace {
 
-// Hash for short integer keys of length d.
-struct KeyHash {
-  size_t operator()(const std::vector<int16_t>& k) const {
-    size_t h = 14695981039346656037ull;
-    for (int16_t v : k) {
-      h ^= static_cast<size_t>(static_cast<uint16_t>(v));
-      h *= 1099511628211ull;
-    }
-    return h;
-  }
-};
+// Keys are d int16 lattice coordinates with |coord| < 2048 at the CRF
+// feature scales (positions / sxy, colours / srgb, elevated by factors
+// <= sqrt(2/3)*(d+1)); pack 12 bits per coordinate into one uint64 so
+// the hash table is a flat open-addressing array (the std::unordered_
+// map<vector<int16_t>> it replaces spent ~1.3 s/image on heap-allocated
+// keys at the 384x512 production canvas; this build runs in tens of ms).
+inline uint64_t pack_key(const int16_t* k, int d) {
+  uint64_t p = 0;
+  for (int i = 0; i < d; ++i)
+    p = (p << 12) | (static_cast<uint64_t>(k[i] + 2048) & 0xfff);
+  return p;
+}
 
-using HashTable =
-    std::unordered_map<std::vector<int16_t>, int32_t, KeyHash>;
+inline uint64_t mix64(uint64_t x) {  // splitmix64 finaliser
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+// Flat linear-probing map: packed key -> lattice id.
+class FlatTable {
+ public:
+  explicit FlatTable(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    mask_ = cap - 1;
+    keys_.assign(cap, kEmpty);
+    ids_.assign(cap, -1);
+  }
+
+  // Returns the id for key, inserting next_id if absent (insert=true).
+  int32_t lookup(uint64_t key, int32_t next_id, bool insert) {
+    size_t slot = mix64(key) & mask_;
+    for (;;) {
+      if (keys_[slot] == key) return ids_[slot];
+      if (keys_[slot] == kEmpty) {
+        if (!insert) return -1;
+        if ((count_ + 1) * 2 > mask_) {
+          grow();
+          return lookup(key, next_id, true);
+        }
+        keys_[slot] = key;
+        ids_[slot] = next_id;
+        ++count_;
+        return next_id;
+      }
+      slot = (slot + 1) & mask_;
+    }
+  }
+
+ private:
+  void grow() {
+    std::vector<uint64_t> ok(std::move(keys_));
+    std::vector<int32_t> oi(std::move(ids_));
+    size_t cap = (mask_ + 1) * 2;
+    mask_ = cap - 1;
+    keys_.assign(cap, kEmpty);
+    ids_.assign(cap, -1);
+    for (size_t s = 0; s <= (ok.size() - 1); ++s) {
+      if (ok[s] == kEmpty) continue;
+      size_t slot = mix64(ok[s]) & mask_;
+      while (keys_[slot] != kEmpty) slot = (slot + 1) & mask_;
+      keys_[slot] = ok[s];
+      ids_[slot] = oi[s];
+    }
+  }
+
+  static constexpr uint64_t kEmpty = ~0ull;
+  size_t mask_;
+  size_t count_ = 0;
+  std::vector<uint64_t> keys_;
+  std::vector<int32_t> ids_;
+};
 
 }  // namespace
 
@@ -33,10 +92,9 @@ void Permutohedral::init(const float* features, int d, int N) {
   offset_.assign(static_cast<size_t>(N) * (d + 1), 0);
   barycentric_.assign(static_cast<size_t>(N) * (d + 1), 0.f);
 
-  HashTable table;
-  table.reserve(static_cast<size_t>(N) * (d + 1));
-  std::vector<std::vector<int16_t>> keys;  // key per lattice point
-  keys.reserve(static_cast<size_t>(N));
+  FlatTable table(static_cast<size_t>(N));
+  std::vector<int16_t> keys;  // flat d coords per lattice point
+  keys.reserve(static_cast<size_t>(N) * d);
 
   // Elevation scale: compensates the variance of the blur kernel so the
   // effective filter is a unit Gaussian in feature space.
@@ -118,22 +176,17 @@ void Permutohedral::init(const float* features, int d, int N) {
         if (rank[i] > d - remainder) v -= (d + 1);
         key[i] = static_cast<int16_t>(v);
       }
-      auto it = table.find(key);
-      int32_t id;
-      if (it == table.end()) {
-        id = static_cast<int32_t>(keys.size());
-        table.emplace(key, id);
-        keys.push_back(key);
-      } else {
-        id = it->second;
-      }
+      const int32_t next = static_cast<int32_t>(keys.size() / d);
+      const int32_t id = table.lookup(pack_key(key.data(), d), next,
+                                      /*insert=*/true);
+      if (id == next) keys.insert(keys.end(), key.begin(), key.end());
       offset_[static_cast<size_t>(n) * (d + 1) + remainder] = id;
       barycentric_[static_cast<size_t>(n) * (d + 1) + remainder] =
           barycentric[remainder];
     }
   }
 
-  M_ = static_cast<int>(keys.size());
+  M_ = static_cast<int>(keys.size() / d);
 
   // 7. blur neighbour ids per axis: neighbours of key along axis j are
   // key +/- 1 in every coordinate except -/+ d at coordinate j
@@ -141,7 +194,7 @@ void Permutohedral::init(const float* features, int d, int N) {
   std::vector<int16_t> n1(d), n2(d);
   for (int j = 0; j <= d; ++j) {
     for (int i = 0; i < M_; ++i) {
-      const std::vector<int16_t>& k = keys[i];
+      const int16_t* k = keys.data() + static_cast<size_t>(i) * d;
       for (int c = 0; c < d; ++c) {
         n1[c] = static_cast<int16_t>(k[c] - 1);
         n2[c] = static_cast<int16_t>(k[c] + 1);
@@ -150,12 +203,12 @@ void Permutohedral::init(const float* features, int d, int N) {
         n1[j] = static_cast<int16_t>(k[j] + d);
         n2[j] = static_cast<int16_t>(k[j] - d);
       }
-      auto i1 = table.find(n1);
-      auto i2 = table.find(n2);
+      const int32_t i1 = table.lookup(pack_key(n1.data(), d), -1, false);
+      const int32_t i2 = table.lookup(pack_key(n2.data(), d), -1, false);
       blur_neighbors_[(static_cast<size_t>(j) * M_ + i) * 2 + 0] =
-          (i1 != table.end()) ? i1->second : M_;
+          (i1 >= 0) ? i1 : M_;
       blur_neighbors_[(static_cast<size_t>(j) * M_ + i) * 2 + 1] =
-          (i2 != table.end()) ? i2->second : M_;
+          (i2 >= 0) ? i2 : M_;
     }
   }
 }

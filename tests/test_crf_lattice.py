@@ -28,13 +28,15 @@ def _scene(h=40, w=56, c=6, seed=0):
 
 
 @pytest.mark.parametrize("d", [2, 5])
-def test_lattice_filter_matches_native(d):
+@pytest.mark.parametrize("sorted_splat", [False, True])
+def test_lattice_filter_matches_native(d, sorted_splat):
     rng = np.random.RandomState(d)
     N, C = 700, 5
     feats = rng.rand(N, d).astype(np.float32) * 6.0
     vals = rng.randn(N, C).astype(np.float32)
     want = crf_native.permutohedral_filter(feats, vals)
-    tabs = build_tables_host(feats, quantum=256)
+    tabs = build_tables_host(feats, quantum=256,
+                             sorted_splat=sorted_splat, chunk=512)
     got = np.asarray(lattice_filter(vals, tabs))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
@@ -50,12 +52,14 @@ def test_gaussian_tables_cached_and_match():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_crf_inference_lattice_matches_native():
+@pytest.mark.parametrize("sorted_splat", [False, True])
+def test_crf_inference_lattice_matches_native(sorted_splat):
     img, probs = _scene()
     h, w, c = probs.shape
     want = crf_native.crf_inference_native(img, probs, t=5)
     tabs_b = build_tables_host(
-        bilateral_features(img, 80.0, 13.0), quantum=1024)
+        bilateral_features(img, 80.0, 13.0), quantum=1024,
+        sorted_splat=sorted_splat, chunk=512)
     tabs_g = gaussian_tables((h, w), 3.0)
     got = np.asarray(crf_inference_lattice(
         jnp_array(probs), tabs_g, tabs_b, t=5))

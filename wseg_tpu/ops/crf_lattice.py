@@ -56,6 +56,7 @@ class LatticeTables(NamedTuple):
     bary: jax.Array
     nbr: jax.Array
     n_valid: jax.Array
+    splat: "SortedSplat | None" = None
 
     @property
     def d(self) -> int:
@@ -64,6 +65,35 @@ class LatticeTables(NamedTuple):
     @property
     def m_pad(self) -> int:
         return self.nbr.shape[-2]
+
+
+@jax.tree_util.register_pytree_node_class
+class SortedSplat:
+    """Chunked dst-sorted contribution tables for the matmul splat.
+
+    Every lattice id receives >= 1 contribution (it was created by one),
+    so K consecutive dst-sorted contributions span < K lattice ids — each
+    chunk accumulates into a bounded [lo, lo+R) window via one one-hot
+    matmul on the MXU instead of a per-row scatter (XLA:TPU scatter-add
+    costs ~15 ns/row in every formulation, tools/bench_scatter3.py).
+
+    ``pix``/``w``/``dst``: (nc, K) contribution source pixel / weight /
+    destination id; tail padded with weight-0 copies of the last real
+    destination.  ``lo``: (nc,) window starts (8-aligned).  ``r_win``:
+    static window size (bucketed max chunk spread) — pytree aux data so
+    jit sees it as a compile-time constant.
+    """
+
+    def __init__(self, pix, w, dst, lo, r_win: int):
+        self.pix, self.w, self.dst, self.lo = pix, w, dst, lo
+        self.r_win = int(r_win)
+
+    def tree_flatten(self):
+        return (self.pix, self.w, self.dst, self.lo), self.r_win
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, r_win=aux)
 
 
 def round_up(x: int, m: int) -> int:
@@ -76,11 +106,14 @@ def m_bucket(m: int, quantum: int = 16384) -> int:
 
 
 def build_tables_host(features: np.ndarray, m_pad: int | None = None,
-                      quantum: int = 16384) -> LatticeTables:
+                      quantum: int = 16384,
+                      sorted_splat: bool = False,
+                      chunk: int = 2048) -> LatticeTables:
     """Host lattice build (native C++ hash) -> padded device tables.
 
     ``features``: (N, d) float32, already divided by the kernel sigmas
-    (native/densecrf/densecrf.cc:57-69).
+    (native/densecrf/densecrf.cc:57-69).  ``sorted_splat`` additionally
+    builds the chunked matmul-splat tables (the fast device path).
     """
     from wseg_tpu.ops.crf_native import build_lattice_tables
     off, bary, nbr, m = build_lattice_tables(
@@ -95,8 +128,9 @@ def build_tables_host(features: np.ndarray, m_pad: int | None = None,
     if m < m_pad:
         pad = np.full((d1, m_pad - m, 2), m_pad, np.int32)
         nbr = np.concatenate([nbr, pad], axis=1)
+    sp = build_sorted_splat(off, bary, m, chunk) if sorted_splat else None
     return LatticeTables(jnp.asarray(off), jnp.asarray(bary),
-                         jnp.asarray(nbr), jnp.asarray(m, jnp.int32))
+                         jnp.asarray(nbr), jnp.asarray(m, jnp.int32), sp)
 
 
 def paste_window_tables(tables: LatticeTables, window, canvas_hw,
@@ -120,9 +154,50 @@ def paste_window_tables(tables: LatticeTables, window, canvas_hw,
     off[y0:y0 + h, x0:x0 + w] = np.asarray(tables.offsets).reshape(
         h, w, d1)
     bar[y0:y0 + h, x0:x0 + w] = np.asarray(tables.bary).reshape(h, w, d1)
-    return LatticeTables(jnp.asarray(off.reshape(-1, d1)),
-                         jnp.asarray(bar.reshape(-1, d1)),
-                         tables.nbr, tables.n_valid)
+    off = off.reshape(-1, d1)
+    bar = bar.reshape(-1, d1)
+    sp = None
+    if tables.splat is not None:
+        chunk = tables.splat.pix.shape[1]
+        sp = build_sorted_splat(off, bar, int(tables.n_valid), chunk)
+    return LatticeTables(jnp.asarray(off), jnp.asarray(bar),
+                         tables.nbr, tables.n_valid, sp)
+
+
+def build_sorted_splat(offsets: np.ndarray, bary: np.ndarray,
+                       m_valid: int, chunk: int = 2048,
+                       r_quantum: int = 256) -> SortedSplat:
+    """Sort splat contributions by destination and chunk them for the
+    one-hot matmul accumulate (see :class:`SortedSplat`).
+
+    Zero-weight contributions (padded canvas pixels) are retargeted to
+    the last real lattice id so the padded tail cannot blow up the last
+    chunk's window (their weight keeps them exactly inert).
+    """
+    E = offsets.size
+    d1 = offsets.shape[1]
+    flat = offsets.reshape(-1).astype(np.int32)
+    wf = bary.reshape(-1).astype(np.float32)
+    flat = np.where(wf == 0.0, np.int32(max(m_valid - 1, 0)), flat)
+    order = np.argsort(flat, kind="stable")
+    sdst = flat[order]
+    spix = (order // d1).astype(np.int32)
+    sw = wf[order]
+
+    nc = -(-E // chunk)
+    pad = nc * chunk - E
+    if pad:
+        sdst = np.concatenate([sdst, np.full(pad, sdst[-1], np.int32)])
+        spix = np.concatenate([spix, np.zeros(pad, np.int32)])
+        sw = np.concatenate([sw, np.zeros(pad, np.float32)])
+    sdst = sdst.reshape(nc, chunk)
+    spix = spix.reshape(nc, chunk)
+    sw = sw.reshape(nc, chunk)
+    lo = (sdst[:, 0] // 8 * 8).astype(np.int32)
+    spread = int((sdst[:, -1] - lo).max()) + 1
+    r_win = round_up(spread, r_quantum)
+    return SortedSplat(jnp.asarray(spix), jnp.asarray(sw),
+                       jnp.asarray(sdst), jnp.asarray(lo), r_win)
 
 
 def bilateral_features(img_rgb: np.ndarray, sxy: float,
@@ -148,12 +223,16 @@ def gaussian_features(hw, sxy: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _gaussian_tables_cached(h: int, w: int, sxy: float) -> LatticeTables:
-    return build_tables_host(gaussian_features((h, w), sxy))
+def _gaussian_tables_cached(h: int, w: int, sxy: float,
+                            sorted_splat: bool) -> LatticeTables:
+    return build_tables_host(gaussian_features((h, w), sxy),
+                             sorted_splat=sorted_splat)
 
 
-def gaussian_tables(hw, sxy: float) -> LatticeTables:
-    return _gaussian_tables_cached(int(hw[0]), int(hw[1]), float(sxy))
+def gaussian_tables(hw, sxy: float,
+                    sorted_splat: bool = False) -> LatticeTables:
+    return _gaussian_tables_cached(int(hw[0]), int(hw[1]), float(sxy),
+                                   bool(sorted_splat))
 
 
 # --------------------------------------------------------------- filter
@@ -170,12 +249,55 @@ def lattice_filter(values: jax.Array, tables: LatticeTables) -> jax.Array:
     off, bary, nbr = tables.offsets, tables.bary, tables.nbr
     d1 = off.shape[-1]
     m_pad = tables.m_pad
-    C = values.shape[-1]
+    N, C = values.shape
 
-    # splat (zero slot at m_pad absorbs padded-pixel contributions)
-    lat = jnp.zeros((m_pad + 1, C), values.dtype)
-    for r in range(d1):
-        lat = lat.at[off[:, r]].add(bary[:, r, None] * values)
+    if tables.splat is not None:
+        sp = tables.splat
+        R = sp.r_win
+        nc, K = sp.pix.shape
+        # one fused gather of source rows in dst-sorted order (per-row
+        # cost bottoms out at ~4.6 ns/row only for large single gathers,
+        # tools/bench_scatter3.py), then batched one-hot matmuls produce
+        # per-chunk (R, C) window blocks on the MXU; a final scatter-add
+        # of nc*R block rows (K/R-fold fewer rows than the naive splat)
+        # assembles the lattice.  Grouped lax.map keeps the materialised
+        # one-hots bounded (~64 MB per group).
+        upd = (sp.w.reshape(-1)[:, None] *
+               jnp.take(values, sp.pix.reshape(-1), axis=0))
+        upd = upd.reshape(nc, K, C)
+        iot = jnp.arange(R, dtype=jnp.int32)
+
+        group = max(1, min(nc, (64 * 1024 * 1024) // (K * R * 4)))
+        while nc % group:
+            group -= 1
+
+        def blocks_fn(args):
+            dst, lo, u = args  # (g, K), (g,), (g, K, C)
+            # f32 one-hots keep the filter bit-comparable to the native
+            # oracle (bf16 updates would round w*Q to 8 mantissa bits);
+            # the FLOPs here are negligible either way
+            oh = (dst[:, :, None] - lo[:, None, None]
+                  == iot[None, None, :]).astype(values.dtype)
+            return jax.lax.dot_general(
+                oh, u, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (g, R, C)
+
+        blocks = jax.lax.map(
+            blocks_fn, (sp.dst.reshape(-1, group, K),
+                        sp.lo.reshape(-1, group),
+                        upd.reshape(-1, group, K, C)))
+        rows = blocks.reshape(nc * R, C).astype(values.dtype)
+        idx = (sp.lo[:, None] + iot[None, :]).reshape(-1)
+        lat = jnp.zeros((m_pad + R, C), values.dtype).at[idx].add(rows)
+        # zero slot for missing blur neighbours lives at m_pad
+        lat = jnp.concatenate(
+            [lat[:m_pad], jnp.zeros((1, C), values.dtype)], axis=0)
+    else:
+        # row-wise scatter fallback (v1): zero slot at m_pad absorbs
+        # padded-pixel contributions
+        lat = jnp.zeros((m_pad + 1, C), values.dtype)
+        for r in range(d1):
+            lat = lat.at[off[:, r]].add(bary[:, r, None] * values)
 
     # blur: sequential over axes; the zero slot never updates
     for j in range(d1):
@@ -185,11 +307,10 @@ def lattice_filter(values: jax.Array, tables: LatticeTables) -> jax.Array:
         lat = jnp.concatenate(
             [body + 0.5 * (n1 + n2), lat[m_pad:]], axis=0)
 
-    # slice
+    # slice: one fused gather + weighted per-vertex sum
     alpha = 1.0 / (1.0 + 2.0 ** -(d1 - 1))
-    out = jnp.zeros_like(values)
-    for r in range(d1):
-        out = out + bary[:, r, None] * jnp.take(lat, off[:, r], axis=0)
+    g = jnp.take(lat, off.reshape(-1), axis=0).reshape(N, d1, C)
+    out = jnp.einsum("nr,nrc->nc", bary, g)
     return alpha * out
 
 
