@@ -84,6 +84,13 @@ def measure_seam_step(bs: int, crop: int = 384, n: int = 10):
     cfg.NET.BACKBONE = "resnet38"
     cfg.NET.DTYPE = "bfloat16"
     cfg.NET.PAMR_IMPL = "auto"
+    # Bench LR 0: with ER force-enabled from step 0 on random init/data
+    # the raw-logit L1 term diverges within a few steps even at LR 1e-5
+    # (in the real schedule ER activates after PRETRAIN+5 epochs on a
+    # trained net).  Step COST is LR-independent — scale(-0.0) performs
+    # the same optimizer arithmetic — and frozen params keep the chained
+    # losses finite so the guard below means something.
+    cfg.NET.LR = 0.0
 
     model = get_model(cfg.NET, num_classes=21)
     rng = jax.random.PRNGKey(0)
