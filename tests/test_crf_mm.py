@@ -20,6 +20,7 @@ from wseg_tpu.ops.crf_mm import (
     gen_oh,
     mm_filter,
     pack3,
+    tile_perm,
 )
 from wseg_tpu.ops.crf_lattice import bilateral_features, gaussian_features
 
@@ -46,7 +47,7 @@ def test_mm_filter_matches_native(d):
     feats = rng.rand(N, d).astype(np.float32) * 6.0
     vals = rng.rand(N, C).astype(np.float32) + 0.1
     want = crf_native.permutohedral_filter(feats, vals)
-    mm = build_mm_lattice(feats, K=64, R0=128, Km=64, m_quantum=128,
+    mm = build_mm_lattice(feats, K=64, R0=128, Km=64,
                           blk_quantum=16)
     with pltpu.force_tpu_interpret_mode():
         oh = gen_oh(mm)
@@ -66,7 +67,7 @@ def test_mm_filter_padded_canvas():
     vals_p[mask] = vals_n
     want = crf_native.permutohedral_filter(feats, vals_n)
     mm = build_mm_lattice(feats, n_pix=Np, valid_mask=mask, K=64,
-                          R0=128, Km=64, m_quantum=128, blk_quantum=16)
+                          R0=128, Km=64, blk_quantum=16)
     with pltpu.force_tpu_interpret_mode():
         oh = gen_oh(mm)
         got = np.asarray(mm_filter(pack3(jnp.asarray(vals_p)), mm, oh, C))
@@ -74,14 +75,16 @@ def test_mm_filter_padded_canvas():
     np.testing.assert_allclose(got[:Np][~mask], 0.0, atol=1e-6)
 
 
-def test_crf_inference_mm_matches_native():
+@pytest.mark.parametrize("use_perm", [False, True])
+def test_crf_inference_mm_matches_native(use_perm):
     img, probs = _scene()
     h, w, c = probs.shape
+    perm = tile_perm(h, w, 8) if use_perm else None
     want = crf_native.crf_inference_native(img, probs, t=5)
     mm_b = build_mm_lattice(bilateral_features(img, 80.0, 13.0), K=64,
-                            R0=128, Km=64, m_quantum=128, blk_quantum=16)
+                            R0=128, Km=64, blk_quantum=16, perm=perm)
     mm_g = build_mm_lattice(gaussian_features((h, w), 3.0), K=64,
-                            R0=128, Km=64, m_quantum=128, blk_quantum=16)
+                            R0=128, Km=64, blk_quantum=16, perm=perm)
     with pltpu.force_tpu_interpret_mode():
         oh_b, oh_g = gen_oh(mm_b), gen_oh(mm_g)
         got = np.asarray(crf_inference_mm(

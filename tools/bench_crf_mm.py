@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from tools.bench_crf_lattice import scene
 from wseg_tpu.ops import crf_native
 from wseg_tpu.ops.crf_lattice import bilateral_features, gaussian_features
-from wseg_tpu.ops.crf_mm import build_mm_lattice, crf_inference_mm, gen_oh
+from wseg_tpu.ops.crf_mm import (build_mm_lattice, crf_inference_mm,
+                                 gen_oh, tile_perm)
 
 
 def main():
@@ -27,12 +28,15 @@ def main():
                   int(os.environ.get("CRF_C", 21)),
                   int(os.environ.get("CRF_T", 10)))
     img, probs = scene(H, W, C)
+    perm = None if os.environ.get("CRF_PERM", "1") == "0" \
+        else tile_perm(H, W, 32)
 
     t0 = time.perf_counter()
-    mm_b = build_mm_lattice(bilateral_features(img, 80.0, 13.0))
+    mm_b = build_mm_lattice(bilateral_features(img, 80.0, 13.0),
+                            perm=perm)
     t_b = time.perf_counter() - t0
     t0 = time.perf_counter()
-    mm_g = build_mm_lattice(gaussian_features((H, W), 3.0))
+    mm_g = build_mm_lattice(gaussian_features((H, W), 3.0), perm=perm)
     t_g = time.perf_counter() - t0
     Bb = mm_b.pix.blk_c.shape[0]
     Bg = mm_g.pix.blk_c.shape[0]

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 D_PAD = 8          # vertex slots per pixel (d+1 <= 8 padded)
 DEF_K = 256        # pixels per chunk
-DEF_R0 = 512       # window rows per block
+DEF_R0 = 256       # window rows per block
 DEF_KM = 256       # lattice rows per blur chunk
 
 
@@ -89,16 +89,18 @@ class MMLattice:
     window slack; ``d1`` (static): d+1 (slice gain 1/(1+2^-d)).
     """
 
-    def __init__(self, pix: HotSpec, blur: tuple, m_lat: int, d1: int):
+    def __init__(self, pix: HotSpec, blur: tuple, m_lat: int, d1: int,
+                 perm=None):
         self.pix, self.blur = pix, tuple(blur)
         self.m_lat, self.d1 = int(m_lat), int(d1)
+        self.perm = perm
 
     def tree_flatten(self):
-        return ((self.pix, self.blur), (self.m_lat, self.d1))
+        return ((self.pix, self.blur, self.perm), (self.m_lat, self.d1))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], *aux, perm=children[2])
 
     @property
     def alpha(self) -> float:
@@ -106,30 +108,44 @@ class MMLattice:
 
 
 # ------------------------------------------------------------- host build
-def _chunk_blocks(ids, w, K, R0, m_lat, blk_quantum):
-    """ids/w (rows, D_PAD) -> HotSpec with rows chunked by K.
+def _chunk_blocks(ids, w, K, R0, m_lat, blk_quantum, D=D_PAD):
+    """ids/w (rows, D) -> HotSpec with rows chunked by K.
 
-    Window starts cover [min, max] of each chunk's weighted ids in R0
-    steps; block list padded to ``blk_quantum`` with inert blocks whose
-    window [m_lat - R0, m_lat) only ever reads/writes zero rows.
+    Each chunk's weighted ids are covered by GREEDY 16-aligned R0
+    windows (sort the chunk's ids; start a window at the first
+    uncovered id) — ids far from the chunk's main cluster cost one
+    extra block instead of a contiguous [min, max] sweep.  Out-of-
+    window ids simply never match the kernel's iota, so any cover
+    works.  Block list padded to ``blk_quantum`` with inert blocks
+    whose window [m_lat - R0, m_lat) only ever reads/writes zero rows.
     """
     rows = ids.shape[0]
     nc = rows // K
-    idc = ids.reshape(nc, K, D_PAD)
-    wc = w.reshape(nc, K, D_PAD)
+    idc = ids.reshape(nc, K, D)
+    wc = w.reshape(nc, K, D)
     masked = np.where(wc != 0.0, idc, np.int64(2 ** 62))
-    lo = masked.reshape(nc, -1).min(1)
-    hi = np.where(wc != 0.0, idc, -1).reshape(nc, -1).max(1)
-    empty = hi < 0
-    lo = np.where(empty, m_lat - R0, lo // 16 * 16)
-    hi = np.where(empty, m_lat - R0, hi)
-    nsub = np.maximum(1, -(-(hi - lo + 1) // R0)).astype(np.int64)
-    B = int(nsub.sum())
-    blk_c = np.repeat(np.arange(nc, dtype=np.int32), nsub)
-    sub = np.arange(B, dtype=np.int64) - np.repeat(
-        np.cumsum(nsub) - nsub, nsub)
-    blk_lo = (lo.astype(np.int64)[blk_c] + sub * R0).astype(np.int32)
-    blk_first = (sub == 0).astype(np.int32)
+    srt = np.sort(masked.reshape(nc, -1), axis=1)
+    blk_c, blk_lo, blk_first = [], [], []
+    for c in range(nc):
+        row = srt[c]
+        row = row[row < 2 ** 62]
+        if len(row) == 0:
+            blk_c.append(c)
+            blk_lo.append(m_lat - R0)
+            blk_first.append(1)
+            continue
+        j, first = 0, 1
+        while j < len(row):
+            start = int(row[j]) // 16 * 16
+            blk_c.append(c)
+            blk_lo.append(start)
+            blk_first.append(first)
+            first = 0
+            j = int(np.searchsorted(row, start + R0))
+    B = len(blk_c)
+    blk_c = np.asarray(blk_c, np.int32)
+    blk_lo = np.asarray(blk_lo, np.int32)
+    blk_first = np.asarray(blk_first, np.int32)
     Bp = _round_up(max(B, 1), blk_quantum)
     if Bp > B:
         pad = Bp - B
@@ -144,54 +160,78 @@ def _chunk_blocks(ids, w, K, R0, m_lat, blk_quantum):
                    jnp.asarray(blk_first), R0)
 
 
+def tile_perm(h: int, w: int, b: int = 32) -> np.ndarray:
+    """Pixel visit order grouped in b x b tiles (raster within/between).
+
+    Bilateral lattice ids of nearby pixels cluster; tiling the chunk
+    scan shrinks each chunk's id spread ~2.3x vs raster rows at
+    production geometry (measured), which is the mm formulation's cost.
+    """
+    y, x = np.mgrid[0:h, 0:w]
+    key = ((y // b).astype(np.int64) * (w // b + 2) + (x // b)) \
+        * (b * b) + (y % b).astype(np.int64) * b + (x % b)
+    return np.argsort(key.reshape(-1), kind="stable")
+
+
 def build_mm_lattice(features: np.ndarray, n_pix: int | None = None,
                      valid_mask: np.ndarray | None = None,
+                     perm: np.ndarray | None = None,
                      K: int = DEF_K, R0: int = DEF_R0, Km: int = DEF_KM,
-                     m_quantum: int = 2048,
-                     blk_quantum: int = 512) -> MMLattice:
+                     blk_quantum: int = 256,
+                     blur_quantum: int = 64) -> MMLattice:
     """Host lattice build (native C++) -> multi-hot block tables.
 
     ``features``: (Nf, d) float32 pre-divided by the kernel sigmas.
     ``n_pix``/``valid_mask``: embed the Nf feature rows into a padded
     canvas of ``n_pix`` pixels where ``valid_mask`` (n_pix,) marks the
     real ones (weight-0 sentinel rows elsewhere) — the device program
-    runs at the static canvas shape.
+    runs at the static canvas shape.  ``perm`` (n_pix,): pixel visit
+    order (e.g. ``tile_perm``); the caller must feed values in the
+    same order (``crf_inference_mm`` handles this when the lattice
+    carries one).  Lattice ids are renumbered by FIRST TOUCH under the
+    permuted scan so chunk windows stay tight.
     """
     from wseg_tpu.ops.crf_native import build_lattice_tables
     off, bary, nbr, m = build_lattice_tables(
         np.ascontiguousarray(features, np.float32))
     d1 = off.shape[1]
     assert d1 <= D_PAD
-
-    # first-touch renumbering over row-major contribution order
-    flat = off.reshape(-1).astype(np.int64)
-    uniq, first_pos = np.unique(flat, return_index=True)
-    order = np.argsort(first_pos)
-    new_of_old = np.empty(m, np.int64)
-    new_of_old[uniq[order]] = np.arange(len(uniq))
-    assert len(uniq) == m
-
-    m_lat = _round_up(m + R0, max(Km, 256))
-    SENT = m_lat + 8
-
-    ren = new_of_old[off]                      # (Nf, d1)
     w = bary.astype(np.float32)
 
     if n_pix is None:
         n_pix = off.shape[0]
         valid_mask = None
     Np = _round_up(n_pix, K)
-    ids_p = np.full((Np, D_PAD), SENT, np.int64)
-    w_p = np.zeros((Np, D_PAD), np.float32)
+    BIG = np.int64(2 ** 62)
+    ids_p = np.full((Np, d1), BIG, np.int64)
+    w_p = np.zeros((Np, d1), np.float32)
     if valid_mask is None:
-        ids_p[:ren.shape[0], :d1] = ren
-        w_p[:w.shape[0], :d1] = w
+        ids_p[:off.shape[0]] = off
+        w_p[:w.shape[0]] = w
     else:
         rows = np.nonzero(valid_mask)[0]
-        assert rows.shape[0] == ren.shape[0]
-        ids_p[rows[:, None], np.arange(d1)[None, :]] = ren
-        w_p[rows[:, None], np.arange(d1)[None, :]] = w
-    pix = _chunk_blocks(ids_p, w_p, K, R0, m_lat, blk_quantum)
+        assert rows.shape[0] == off.shape[0]
+        ids_p[rows] = off
+        w_p[rows] = w
+    if perm is not None:
+        full = np.arange(Np, dtype=np.int64)
+        full[:n_pix] = np.asarray(perm, np.int64)
+        ids_p, w_p = ids_p[full], w_p[full]
+
+    # first-touch renumbering over the (permuted) scan order
+    flat = ids_p.reshape(-1)
+    uniq, first_pos = np.unique(flat, return_index=True)
+    uniq, first_pos = uniq[uniq < BIG], first_pos[uniq < BIG]
+    assert len(uniq) == m
+    order = np.argsort(first_pos)
+    new_of_old = np.empty(m, np.int64)
+    new_of_old[uniq[order]] = np.arange(m)
+
+    m_lat = _round_up(m + R0, 256)
+    SENT = m_lat + 16
+    ids_p = np.where(ids_p < BIG, new_of_old[np.minimum(ids_p, m - 1)],
+                     SENT)
+    pix = _chunk_blocks(ids_p, w_p, K, R0, m_lat, blk_quantum, D=d1)
 
     # blur tables: per axis, dst rows in NEW order; entries
     # [center 1.0, n1 0.5, n2 0.5]; rows >= m stay all-pad (zero)
@@ -199,8 +239,8 @@ def build_mm_lattice(features: np.ndarray, n_pix: int | None = None,
     old_of_new[new_of_old] = np.arange(m)
     blur = []
     for j in range(d1):
-        ids_b = np.full((m_lat, D_PAD), SENT, np.int64)
-        w_b = np.zeros((m_lat, D_PAD), np.float32)
+        ids_b = np.full((m_lat, 3), SENT, np.int64)
+        w_b = np.zeros((m_lat, 3), np.float32)
         ids_b[:m, 0] = np.arange(m)
         w_b[:m, 0] = 1.0
         for s in range(2):
@@ -210,8 +250,11 @@ def build_mm_lattice(features: np.ndarray, n_pix: int | None = None,
                 ok, new_of_old[np.clip(src_old, 0, m - 1)], SENT)
             w_b[:m, 1 + s] = np.where(ok, 0.5, 0.0)
         blur.append(_chunk_blocks(ids_b, w_b, Km, R0, m_lat,
-                                  blk_quantum))
-    return MMLattice(pix, blur, m_lat, d1)
+                                  blur_quantum, D=3))
+    dperm = None
+    if perm is not None:
+        dperm = jnp.asarray(np.asarray(perm, np.int32))
+    return MMLattice(pix, blur, m_lat, d1, perm=dperm)
 
 
 # --------------------------------------------------------------- kernels
@@ -413,11 +456,16 @@ def crf_inference_mm(probs: jax.Array, mm_g: MMLattice, mm_b: MMLattice,
     ``probs``: (H, W, C) f32.  Semantics mirror
     crf_lattice.crf_inference_lattice (and densecrf.cc): unary -log(p),
     symmetric normalisation, Potts update with self term, softmax.
+    Both lattices must be built with the SAME pixel ``perm``.
     """
+    assert (mm_g.perm is None) == (mm_b.perm is None)
     H, W, C = probs.shape
     N = H * W
     Np = mm_b.pix.ids.shape[0] * mm_b.pix.ids.shape[1]
     p = probs.reshape(N, C).astype(jnp.float32)
+    perm = mm_b.perm
+    if perm is not None:
+        p = jnp.take(p, perm, axis=0)
     if Np > N:
         p = jnp.concatenate(
             [p, jnp.zeros((Np - N, C), jnp.float32)], axis=0)
@@ -441,4 +489,9 @@ def crf_inference_mm(probs: jax.Array, mm_g: MMLattice, mm_b: MMLattice,
         return jax.nn.softmax(logit, axis=-1), None
 
     Q, _ = jax.lax.scan(body, p, None, length=t)
-    return Q[:N].reshape(H, W, C)
+    Q = Q[:N]
+    if perm is not None:
+        inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+            jnp.arange(N, dtype=jnp.int32))
+        Q = jnp.take(Q, inv, axis=0)
+    return Q.reshape(H, W, C)
