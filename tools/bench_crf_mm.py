@@ -28,15 +28,22 @@ def main():
                   int(os.environ.get("CRF_C", 21)),
                   int(os.environ.get("CRF_T", 10)))
     img, probs = scene(H, W, C)
+    tile = int(os.environ.get("CRF_TILE", 32))
     perm = None if os.environ.get("CRF_PERM", "1") == "0" \
-        else tile_perm(H, W, 32)
+        else tile_perm(H, W, tile)
+    from wseg_tpu.ops import crf_mm as _mm
+    geom = dict(K=int(os.environ.get("CRF_K", _mm.DEF_K)),
+                R0=int(os.environ.get("CRF_R0", _mm.DEF_R0)),
+                Km=int(os.environ.get("CRF_KM", _mm.DEF_KM)))
+    print("geom:", geom, "tile:", tile, flush=True)
 
     t0 = time.perf_counter()
     mm_b = build_mm_lattice(bilateral_features(img, 80.0, 13.0),
-                            perm=perm)
+                            perm=perm, **geom)
     t_b = time.perf_counter() - t0
     t0 = time.perf_counter()
-    mm_g = build_mm_lattice(gaussian_features((H, W), 3.0), perm=perm)
+    mm_g = build_mm_lattice(gaussian_features((H, W), 3.0), perm=perm,
+                            **geom)
     t_g = time.perf_counter() - t0
     Bb = mm_b.pix.blk_c.shape[0]
     Bg = mm_g.pix.blk_c.shape[0]
@@ -46,7 +53,8 @@ def main():
              [s.blk_c.shape[0] for s in mm_b.blur], t_g * 1e3,
              mm_g.m_lat, Bg), flush=True)
 
-    gen = jax.jit(lambda b, g: (gen_oh(b), gen_oh(g)))
+    planes = int(os.environ.get("CRF_PLANES", "2"))
+    gen = jax.jit(lambda b, g: (gen_oh(b, planes), gen_oh(g, planes)))
     run = jax.jit(lambda p, mg, mb, og, ob: crf_inference_mm(
         p, mg, mb, og, ob, t=T))
 

@@ -421,16 +421,35 @@ def unpack3(p: jax.Array, C: int) -> jax.Array:
 class MMOh(NamedTuple):
     """Pre-generated multi-hot blocks (fixed per image).
 
-    ``pix``: (hi, lo) bf16 weight planes.  ``blur``: hi plane per axis
+    ``pix``: (hi, lo) bf16 weight planes — ``lo`` is None when the
+    filter runs single-plane (planes=1).  ``blur``: hi plane per axis
     (blur weights 1.0/0.5 are exact in bf16 — no lo plane needed).
     """
     pix: tuple
     blur: tuple
 
 
-def gen_oh(mm: MMLattice) -> MMOh:
-    return MMOh(_ohgen_call(mm.pix),
+def gen_oh(mm: MMLattice, planes: int = 2) -> MMOh:
+    hi, lo = _ohgen_call(mm.pix)
+    return MMOh((hi, lo if planes == 2 else None),
                 tuple(_ohgen_call(s)[0] for s in mm.blur))
+
+
+def scale_oh(oh: MMOh, mm: MMLattice, norm: jax.Array) -> MMOh:
+    """Fold the per-pixel symmetric normalisation into the pixel planes.
+
+    The filter is norm * (S^T B S (norm * q)); with S' = S diag(norm)
+    both multiplies disappear: S'^T B S' q.  ``norm``: (Np, 1) f32 in
+    the lattice's (permuted) pixel order.  One elementwise pass over
+    the planes per image buys back two per-pixel multiplies and one
+    value re-pack per mean-field iteration.
+    """
+    nc, K, _ = mm.pix.ids.shape
+    n_blk = norm.reshape(nc, K).astype(jnp.bfloat16)[mm.pix.blk_c]
+    hi, lo = oh.pix
+    return MMOh((hi * n_blk[:, :, None],
+                 lo * n_blk[:, :, None] if lo is not None else None),
+                oh.blur)
 
 
 def mm_filter(qpk: jax.Array, mm: MMLattice, oh: MMOh,
@@ -477,14 +496,18 @@ def crf_inference_mm(probs: jax.Array, mm_g: MMLattice, mm_b: MMLattice,
         return jnp.where(k1 > 1e-20,
                          jax.lax.rsqrt(jnp.maximum(k1, 1e-20)), 0.0)
 
-    norm_g = norm_of(mm_g, oh_g)
-    norm_b = norm_of(mm_b, oh_b)
+    # fold norm into the pixel planes once: the per-iteration body then
+    # packs Q a single time and runs both filters with no per-pixel
+    # multiplies (scale_oh docstring has the algebra)
+    oh_g = scale_oh(oh_g, mm_g, norm_of(mm_g, oh_g))
+    oh_b = scale_oh(oh_b, mm_b, norm_of(mm_b, oh_b))
 
     unary = -jnp.log(jnp.maximum(p, 1e-8))
 
     def body(Q, _):
-        mg = mm_filter(pack3(Q * norm_g), mm_g, oh_g, C) * norm_g
-        mb = mm_filter(pack3(Q * norm_b), mm_b, oh_b, C) * norm_b
+        qpk = pack3(Q)
+        mg = mm_filter(qpk, mm_g, oh_g, C)
+        mb = mm_filter(qpk, mm_b, oh_b, C)
         logit = -unary + compat_gaussian * mg + compat_bilateral * mb
         return jax.nn.softmax(logit, axis=-1), None
 
