@@ -120,6 +120,11 @@ def main():
             cfg.NET.DTYPE = "bfloat16"
 
     e2e_img_per_sec = bench_e2e(model, variables)
+    # mixed landscape/portrait stream — the real VOC val geometry
+    # distribution (reference pascal_voc_ms.py resizes arbitrary H x W);
+    # exercises the size-aware batching stash (VERDICT r3 task 4: the
+    # honest real-val proxy is the mixed number, so record both)
+    e2e_mixed_img_per_sec = bench_e2e(model, variables, mixed=True)
 
     # train-step throughput in the driver-captured artifact (bs 8 + 16,
     # crop 384 — the configs/voc_resnet38.yaml recipe); skippable for a
@@ -138,6 +143,13 @@ def main():
         except Exception as e:
             print(f"seam bench skipped: {type(e).__name__}: {e}",
                   flush=True)
+        try:  # sustained live loop: real on-disk input pipeline
+            from bench_train import measure_train_epoch
+            ips = measure_train_epoch(8)
+            train["train_epoch_imgs_per_sec_bs8"] = round(ips, 3)
+        except Exception as e:
+            print(f"epoch bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
 
     result = {
         "metric": "multiscale_inference_images_per_sec_per_chip",
@@ -151,6 +163,8 @@ def main():
         "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
         "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
                                  2),
+        "e2e_mixed_geometry_images_per_sec":
+            round(e2e_mixed_img_per_sec, 3),
         **({"int8_forward_images_per_sec": round(int8_img_per_sec, 3)}
            if int8_img_per_sec else {}),
         **train,
@@ -158,14 +172,17 @@ def main():
     print(json.dumps(result), flush=True)
 
 
-def bench_e2e(model, variables, n_images: int = 96) -> float:
+def bench_e2e(model, variables, n_images: int = 96,
+              mixed: bool = False) -> float:
     """images/sec through the complete infer_val path (reference
     infer_val.py:112-143 + utils/inference_tools.py:61-126): multi-scale
     batched forward -> device merge -> CRF -> thresholded PNG writes.
 
     96 images (6 groups of 16) so pipeline fill/drain amortises the way
     it does in a real 1449-image val run; segment attribution lives in
-    tools/bench_e2e_segments.py."""
+    tools/bench_e2e_segments.py.  ``mixed`` interleaves landscape and
+    portrait images (VOC val is roughly half of each), exercising the
+    size-aware batching stash."""
     import shutil
     import tempfile
     import time as _time
@@ -192,10 +209,12 @@ def bench_e2e(model, variables, n_images: int = 96) -> float:
 
     out_dir = tempfile.mkdtemp(prefix="wseg_bench_")
     rng = np.random.RandomState(0)
-    # same 512x384 geometry as the headline bench -> same pad buckets
+    # same 512x384 geometry as the headline bench -> same pad buckets;
+    # mixed mode interleaves the transposed (portrait) geometry
+    hws = [(384, 512), (512, 384)] if mixed else [(384, 512)]
     images = [Image.fromarray(
-        (rng.rand(384, 512, 3) * 255).astype(np.uint8))
-        for _ in range(n_images)]
+        (rng.rand(*hws[i % len(hws)], 3) * 255).astype(np.uint8))
+        for i in range(n_images)]
     gt = np.zeros(20, np.float32)
     gt[[3, 8]] = 1.0
 
@@ -209,7 +228,7 @@ def bench_e2e(model, variables, n_images: int = 96) -> float:
         crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
     server = MultiScaleServer(model, variables, cfg.TEST, max_batch=16,
                               postprocess=pp)
-    server.warmup([(512, 384)])
+    server.warmup([(w, h) for h, w in hws])
     writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
                                prospect_thresh=t, verbose=False)
                for t in threshs}

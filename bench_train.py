@@ -117,6 +117,118 @@ def measure_seam_step(bs: int, crop: int = 384, n: int = 10):
     return dt * 1000.0, bs / dt
 
 
+def measure_train_epoch(bs: int = 8, crop: int = 384,
+                        n_steps: int = 100, n_imgs: int = 256):
+    """Sustained live-loop throughput: real input pipeline (on-disk
+    JPEG decode + augment + device jitter) feeding the jitted train
+    step, >= ``n_steps`` steady-state (VERDICT r3 task 2).  This is the
+    honest analogue of the reference's measured Im/Sec
+    (/root/reference/train.py:206), where the synthetic-batch
+    measure_train_step is the device-only bound.
+
+    Returns (imgs_per_sec, pct_of_step_bound_is_left_to_caller).
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.data import get_dataloader
+    from wseg_tpu.engine.train_loop import (
+        create_train_state,
+        init_variables,
+        make_train_step,
+    )
+    from wseg_tpu.models import get_model
+    from wseg_tpu.parallel import make_optimizer
+
+    reset_cfg()
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "bfloat16"
+    cfg.NET.PAMR_IMPL = "auto"
+    cfg.DATASET.CROP_SIZE = crop
+    cfg.TRAIN.BATCH_SIZE = bs
+    # LR 0 so the 100-step chain on random init + noise images cannot
+    # diverge and trip the finite-loss guard (same rationale as the
+    # SEAM bench); the optimizer arithmetic and step cost are identical
+    cfg.NET.LR = 0.0
+
+    # on-disk synthetic VOC at the real 500x375 geometry so JPEG decode
+    # cost is representative
+    root = tempfile.mkdtemp(prefix="wseg_epoch_bench_")
+    os.makedirs(f"{root}/img")
+    os.makedirs(f"{root}/m")
+    host = np.random.RandomState(0)
+    lines = []
+    for i in range(n_imgs):
+        n = f"2007_{i:06d}"
+        Image.fromarray((host.rand(375, 500, 3) * 255).astype(
+            np.uint8)).save(f"{root}/img/{n}.jpg", quality=90)
+        Image.fromarray(host.randint(0, 21, (375, 500)).astype(
+            np.uint8)).save(f"{root}/m/{n}.png")
+        lines.append(f"/img/{n}.jpg /m/{n}.png\n")
+    with open(f"{root}/train_bench.txt", "w") as f:
+        f.writelines(lines)
+    cfg.DATASET.ROOT = root
+
+    class _Args:
+        random_seed = 0
+        workers = int(os.environ.get("WSEG_EPOCH_WORKERS", "4"))
+
+    loader = get_dataloader(_Args(), cfg, "train_bench")
+
+    model = get_model(cfg.NET, num_classes=21)
+    rng = jax.random.PRNGKey(0)
+    init_batch = {
+        "image": jnp.asarray(host.rand(bs, crop, crop, 3), jnp.float32),
+        "labels": jnp.ones((bs, 20), jnp.float32),
+    }
+    variables = init_variables(model, rng, init_batch)
+    tx, _ = make_optimizer(cfg.NET, "resnet38", variables["params"])
+    state = create_train_state(model, tx, rng, init_batch,
+                               variables=variables)
+    step = make_train_step(model, tx)
+    on = jnp.asarray(1.0)
+    log_every = 50
+
+    def step_batch(b):
+        out = {"image": jnp.asarray(b["image"]),
+               "labels": jnp.asarray(b["labels"])}
+        if "jitter" in b:
+            out["jitter"] = jnp.asarray(b["jitter"])
+        return out
+
+    try:
+        # warmup: compile both the uint8+jitter program and run 2 steps
+        it = iter(loader)
+        for _ in range(2):
+            state, metrics = step(state, step_batch(next(it)), rng, on)
+        float(metrics["loss"])
+        for _ in it:   # drain the epoch so the next one starts clean
+            pass
+
+        done = 0
+        t0 = time.perf_counter()
+        while done < n_steps:
+            for b in loader:
+                state, metrics = step(state, step_batch(b), rng, on)
+                done += 1
+                if done % log_every == 0:
+                    # trainer fetches metrics every LOG_EVERY steps
+                    assert np.isfinite(float(metrics["loss"]))
+                if done >= n_steps:
+                    break
+        float(metrics["loss"])  # final barrier
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return bs * n_steps / dt
+
+
 def main():
     bs = int(os.environ.get("WSEG_BENCH_BS", "8"))
     crop = int(os.environ.get("WSEG_BENCH_CROP", "384"))

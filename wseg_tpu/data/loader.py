@@ -122,7 +122,8 @@ class DataLoader:
         masks = np.stack([s[3] for s in samples])
         batch = {"image": images, "labels": labels, "name": names,
                  "mask": masks}
-        if len(samples[0]) > 4:  # optional scoremap stream
-            batch["score"] = np.stack(
-                [s[4] for s in samples]).astype(np.float32)
+        for col in zip(*[s[4:] for s in samples]):
+            arr = np.stack(col).astype(np.float32)
+            # (B, 9) jitter params vs (B, H, W) scoremap stream
+            batch["jitter" if arr.ndim == 2 else "score"] = arr
         return batch

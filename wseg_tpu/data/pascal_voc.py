@@ -149,7 +149,8 @@ class VOCSegmentation:
 
     def __init__(self, data_cfg, split: str, root: str = "",
                  augment: bool = True, seed: int = 0,
-                 scoremap_path: str = "", transfer: str = "uint8"):
+                 scoremap_path: str = "", transfer: str = "uint8",
+                 device_jitter: bool = False):
         self.cfg = data_cfg
         self.root = root or data_cfg.ROOT
         self.split = split
@@ -164,12 +165,21 @@ class VOCSegmentation:
         crop = int(data_cfg.CROP_SIZE)
         tail = tf.MaskToUint8() if transfer == "uint8" \
             else tf.MaskNormalise(MEAN, STD)
+        # device_jitter: the loader only SAMPLES the colour-jitter
+        # params (ops/jitter.py applies them on device in the train
+        # step) — the PIL HSV round-trips are the biggest host cost of
+        # the input pipeline.  Requires the uint8 transfer path.
+        self.device_jitter = bool(device_jitter and augment
+                                  and transfer == "uint8"
+                                  and not scoremap_path)
         if augment:
+            jit = [] if self.device_jitter \
+                else [tf.MaskColourJitter(p=1.0)]
             self.transform = tf.Compose([
                 tf.MaskRandResizedCrop(crop, float(data_cfg.SCALE_FROM),
                                        float(data_cfg.SCALE_TO)),
                 tf.MaskHFlip(),
-                tf.MaskColourJitter(p=1.0),
+                *jit,
                 tail,
             ])
         else:
@@ -190,6 +200,13 @@ class VOCSegmentation:
             image, mask = self.transform(image, mask, self.rng)
             mask_np = np.asarray(mask, np.int32)
             labels = labels_from_mask(mask_np)
+            if self.device_jitter:
+                # sampled AFTER the pipeline: same rng stream position
+                # as the in-pipeline MaskColourJitter (the tail
+                # transform draws nothing)
+                from wseg_tpu.ops.jitter import sample_colour_jitter
+                return (image, labels, os.path.basename(img_path),
+                        mask_np, sample_colour_jitter(self.rng, p=1.0))
             return image, labels, os.path.basename(img_path), mask_np
         stem = os.path.splitext(os.path.basename(img_path))[0]
         sm_file = os.path.join(self.scoremap_path, stem + ".npy")

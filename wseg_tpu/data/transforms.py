@@ -140,20 +140,31 @@ class MaskColourJitter:
     def __call__(self, image, mask, rng, score=None):
         if rng.rand() >= self.p:
             return image, mask, score
-        ops = []
         b = rng.uniform(1 - self.brightness, 1 + self.brightness)
         c = rng.uniform(1 - self.contrast, 1 + self.contrast)
         s = rng.uniform(1 - self.saturation, 1 + self.saturation)
         hshift = rng.uniform(-self.hue, self.hue)
-        ops = [
-            lambda im: ImageEnhance.Brightness(im).enhance(b),
-            lambda im: ImageEnhance.Contrast(im).enhance(c),
-            lambda im: ImageEnhance.Color(im).enhance(s),
-            lambda im: _adjust_hue(im, hshift),
-        ]
-        for k in rng.permutation(4):
-            image = ops[k](image)
-        return image, mask, score
+        order = rng.permutation(4)
+        params = np.array([b, c, s, hshift, *order, 1.0], np.float32)
+        return apply_jitter_params(image, params), mask, score
+
+
+def apply_jitter_params(image: Image.Image,
+                        params: np.ndarray) -> Image.Image:
+    """Apply a sampled 9-vector (ops/jitter.py layout) with PIL — the
+    byte-exact host path and the oracle for the device-jitter tests."""
+    if params[8] < 0.5:
+        return image
+    b, c, s, hshift = (float(v) for v in params[:4])
+    ops = [
+        lambda im: ImageEnhance.Brightness(im).enhance(b),
+        lambda im: ImageEnhance.Contrast(im).enhance(c),
+        lambda im: ImageEnhance.Color(im).enhance(s),
+        lambda im: _adjust_hue(im, hshift),
+    ]
+    for k in params[4:8].astype(np.int64):
+        image = ops[int(k)](image)
+    return image
 
 
 class RandomGaussianBlur:

@@ -34,7 +34,8 @@ def make_seam_train_step(model, tx, loss_name: str = "SoftMargin",
         rng = jax.random.fold_in(rng, state.step)
         r1, r2, sg1, sg2 = jax.random.split(rng, 4)
         from wseg_tpu.engine.train_loop import _normalise_batch_image
-        image, image_raw = _normalise_batch_image(batch["image"])
+        image, image_raw = _normalise_batch_image(
+            batch["image"], batch.get("jitter"))
         labels = batch["labels"]
         h2 = int(image.shape[1] * scale_factor)
         w2 = int(image.shape[2] * scale_factor)

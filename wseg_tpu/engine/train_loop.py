@@ -36,16 +36,22 @@ from wseg_tpu.models.backbones.common import (
 from wseg_tpu.models.stage_net import StageNet
 
 
-def _normalise_batch_image(image):
+def _normalise_batch_image(image, jitter=None):
     """(normalised, raw [0,1]) from either transfer dtype.
 
     uint8 batches (the loader default) normalise ON DEVICE — shipping
     u8 quarters the host->device upload, which dominates the step time
     on remote-attached chips; f32 batches arrive pre-normalised (the
     reference contract) and are denormalised for the PAMR raw stream.
+    ``jitter``: optional (B, 9) colour-jitter params, applied on device
+    before normalisation (ops/jitter.py; DATASET.DEVICE_JITTER).
     """
     if image.dtype == jnp.uint8:
-        raw = image.astype(jnp.float32) / 255.0
+        x = image.astype(jnp.float32)
+        if jitter is not None:
+            from wseg_tpu.ops.jitter import apply_colour_jitter
+            x = apply_colour_jitter(x, jitter)
+        raw = x / 255.0
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         return (raw - mean) / std, raw
@@ -104,7 +110,8 @@ def make_train_step(model: StageNet, tx, loss_name: str = "SoftMargin",
     def step_fn(state: TrainState, batch, rng, mask_loss_on):
         rng = jax.random.fold_in(rng, state.step)
         drop_rng, sg_rng = jax.random.split(rng)
-        image, image_raw = _normalise_batch_image(batch["image"])
+        image, image_raw = _normalise_batch_image(
+            batch["image"], batch.get("jitter"))
         labels = batch["labels"]
 
         def loss_fn(params):
