@@ -126,6 +126,22 @@ def main():
     # honest real-val proxy is the mixed number, so record both)
     e2e_mixed_img_per_sec = bench_e2e(model, variables, mixed=True)
 
+    # parity-grade mode: EXACT permutohedral CRF per image on device
+    # (TEST.CRF_MODE=exact, 0.0000% argmax deviation vs native) —
+    # optional metric, must not sink the artifact
+    e2e_exact = None
+    if not os.environ.get("WSEG_BENCH_NO_EXACT"):
+        try:
+            from wseg_tpu.config import cfg as _cfg
+            _cfg.TEST.CRF_MODE = "exact"
+            e2e_exact = bench_e2e(model, variables, n_images=32,
+                                  smooth=True)
+        except Exception as e:
+            print(f"exact-crf bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
+        finally:
+            _cfg.TEST.CRF_MODE = "fast"
+
     # train-step throughput in the driver-captured artifact (bs 8 + 16,
     # crop 384 — the configs/voc_resnet38.yaml recipe); skippable for a
     # quick inference-only run via WSEG_BENCH_NO_TRAIN=1
@@ -167,13 +183,15 @@ def main():
             round(e2e_mixed_img_per_sec, 3),
         **({"int8_forward_images_per_sec": round(int8_img_per_sec, 3)}
            if int8_img_per_sec else {}),
+        **({"e2e_exact_crf_images_per_sec": round(e2e_exact, 3)}
+           if e2e_exact else {}),
         **train,
     }
     print(json.dumps(result), flush=True)
 
 
 def bench_e2e(model, variables, n_images: int = 96,
-              mixed: bool = False) -> float:
+              mixed: bool = False, smooth: bool = False) -> float:
     """images/sec through the complete infer_val path (reference
     infer_val.py:112-143 + utils/inference_tools.py:61-126): multi-scale
     batched forward -> device merge -> CRF -> thresholded PNG writes.
@@ -212,9 +230,21 @@ def bench_e2e(model, variables, n_images: int = 96,
     # same 512x384 geometry as the headline bench -> same pad buckets;
     # mixed mode interleaves the transposed (portrait) geometry
     hws = [(384, 512), (512, 384)] if mixed else [(384, 512)]
-    images = [Image.fromarray(
-        (rng.rand(*hws[i % len(hws)], 3) * 255).astype(np.uint8))
-        for i in range(n_images)]
+
+    def make(i):
+        h, w = hws[i % len(hws)]
+        if smooth:
+            # photo-like low-frequency content: the exact-CRF lattice
+            # size is content-dependent and white noise maximises it
+            # far past any real photograph
+            import cv2
+            return Image.fromarray((cv2.resize(
+                rng.rand(h // 24, w // 24, 3), (w, h)) * 255).astype(
+                np.uint8))
+        return Image.fromarray(
+            (rng.rand(h, w, 3) * 255).astype(np.uint8))
+
+    images = [make(i) for i in range(n_images)]
     gt = np.zeros(20, np.float32)
     gt[[3, 8]] = 1.0
 
@@ -225,7 +255,8 @@ def bench_e2e(model, variables, n_images: int = 96,
         crf_stride=int(cfg.TEST.CRF_STRIDE),
         crf_tap_div=float(cfg.TEST.CRF_TAP_DIV),
         crf_full_stride=int(cfg.TEST.CRF_FULL_STRIDE),
-        crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
+        crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS),
+        crf_mode=str(getattr(cfg.TEST, "CRF_MODE", "fast")))
     server = MultiScaleServer(model, variables, cfg.TEST, max_batch=16,
                               postprocess=pp)
     server.warmup([(w, h) for h, w in hws])

@@ -137,7 +137,8 @@ def main(argv):
             crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)),
             crf_full_stride=int(getattr(cfg.TEST, "CRF_FULL_STRIDE", 1)),
             crf_refine_iters=int(getattr(cfg.TEST, "CRF_REFINE_ITERS",
-                                         0)))
+                                         0)),
+            crf_mode=str(getattr(cfg.TEST, "CRF_MODE", "fast")))
         # data-parallel inference over every available device (the
         # reference wraps the infer model in nn.DataParallel,
         # infer_val.py:99): slot batches shard over the mesh data axis

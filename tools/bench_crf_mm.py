@@ -45,6 +45,17 @@ def main():
     mm_g = build_mm_lattice(gaussian_features((H, W), 3.0), perm=perm,
                             **geom)
     t_g = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    # the relay pays ~130 ms per transferred array (tree device_put
+    # measured 38 s, async per-leaf puts 7.9 s): pack the ~60 table
+    # leaves into TWO buffers and rebuild on device with static slices
+    from wseg_tpu.ops.crf_mm import pack_lattices, unpack_lattices
+    bu, bi, spec = pack_lattices((mm_b, mm_g))
+    mm_b, mm_g = jax.jit(unpack_lattices, static_argnums=(2,))(
+        jnp.asarray(bu), jnp.asarray(bi), spec)
+    float(jnp.asarray(mm_b.pix.blk_lo).sum())  # relay: force completion
+    t_put = time.perf_counter() - t0
+    print("table upload (packed): %.0f ms" % (t_put * 1e3), flush=True)
     Bb = mm_b.pix.blk_c.shape[0]
     Bg = mm_g.pix.blk_c.shape[0]
     print("host build: bilateral %.0f ms (m_lat %d, B %d, blurB %s), "

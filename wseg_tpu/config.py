@@ -141,6 +141,14 @@ def _default_cfg() -> AttrDict:
     # is far inside its smoothness; ~4x cheaper bilateral).  Fidelity
     # bounds vs the exact permutohedral CRF: tools/crf_fidelity.py and
     # docs/PARITY.md.
+    # CRF_MODE "exact": the serving fast path runs the EXACT
+    # permutohedral mean field per image on device (ops/crf_mm.py,
+    # 0.0000% measured argmax deviation vs native/densecrf — the
+    # reference's pydensecrf semantics, utils/dcrf.py:6-21) instead of
+    # the in-program sparse-tap approximation below.  Costs ~90 ms/img
+    # device + ~180 ms/img host lattice build (overlapped); "fast" is
+    # the throughput knob (0.7-1.1% argmax deviation, docs/PARITY.md).
+    c.TEST.CRF_MODE = "fast"
     c.TEST.CRF_DTYPE = "bfloat16"
     c.TEST.CRF_STRIDE = 2
     # CRF_FULL_STRIDE s > 1 runs the WHOLE mean field at (H/s, W/s)
@@ -176,6 +184,11 @@ def _default_cfg() -> AttrDict:
     c.DATASET.ROOT = ""
     c.DATASET.NAME = ""
     c.DATASET.FILENAME = ""
+    # TPU extension: loader samples colour-jitter params, train step
+    # applies them on device (ops/jitter.py) — removes the dominant
+    # PIL cost from the host input path.  False = byte-exact host
+    # jitter (reference torchvision semantics).
+    c.DATASET.DEVICE_JITTER = True
 
     c.NET = AttrDict()
     c.NET.MODEL = "vgg16"

@@ -60,11 +60,16 @@ def get_dataloader(args, cfg, split, batch_size=None, scoremap_path=""):
     choice = os.environ.get("WSEG_LOADER",
                             "grain" if ncpu >= 3 else "threads")
     if shuffle and workers > 0 and choice == "grain":
+        # multi-host readiness: each process loads its own shard of the
+        # global shuffle (single-process: 0 of 1 = the whole dataset)
+        import jax
         from wseg_tpu.data.grain_loader import make_train_loader
         return make_train_loader(
             dataset, batch_size, use_grain=True, shuffle=True,
             drop_last=True, num_workers=workers,
-            seed=getattr(args, "random_seed", 0))
+            seed=getattr(args, "random_seed", 0),
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count())
     return DataLoader(dataset, batch_size, shuffle=shuffle,
                       drop_last=drop_last,
                       num_workers=workers or 1,

@@ -46,10 +46,17 @@ class MultiScaleServer:
         self.mesh = mesh
         if mesh is not None:
             n_data = int(mesh.shape["data"])
-            assert max_batch % n_data == 0, (
-                f"max_batch ({max_batch}) must be a multiple of the "
-                f"mesh data axis ({n_data}) so slot batches shard "
-                f"evenly")
+            if max_batch % n_data != 0:
+                # derive a shardable slot count rather than erroring:
+                # round UP to the next multiple of the data axis (>= one
+                # slot per device) so every slot batch splits evenly
+                new_mb = max(n_data, -(-max_batch // n_data) * n_data)
+                import warnings
+                warnings.warn(
+                    f"max_batch {max_batch} rounded to {new_mb} to "
+                    f"shard evenly over the {n_data}-way mesh data "
+                    f"axis")
+                max_batch = new_mb
             from wseg_tpu.parallel.mesh import replicate
             self.variables = replicate(mesh, variables)
         self.uint8 = bool(getattr(test_cfg, "UINT8_TRANSFER", False))
@@ -94,6 +101,19 @@ class MultiScaleServer:
         # order is preserved)
         from concurrent.futures import ThreadPoolExecutor
         self._finisher = ThreadPoolExecutor(1)
+        # exact-CRF stage (TEST.CRF_MODE=exact): host lattice builds +
+        # per-image program dispatches run here, overlapped with the
+        # worker's next group
+        self._crf_pool = None
+        if getattr(postprocess, "exact", None) is not None:
+            # two threads: one image's host lattice build overlaps
+            # another's table upload / device wait (both release the
+            # GIL); more threads just contend on the 1-core host
+            self._crf_pool = ThreadPoolExecutor(2)
+            # bound the in-flight exact jobs: every pending job pins its
+            # chunk's (S, Hc, Wc, C) merged stack in HBM, and the host
+            # lattice builds are slower than the forward pipeline
+            self._crf_slots = threading.BoundedSemaphore(4)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -164,7 +184,7 @@ class MultiScaleServer:
                             zero_sums,
                             np.zeros((cs, nc - 1), np.float32),
                             zero_wn, zero_u8, self.views.num_views)
-                        np.asarray(jax.device_get(dev))
+                        jax.tree.map(np.asarray, jax.device_get(dev))
                     else:
                         # production path computes labels on device
                         # from the per-scale cls logits — warm THAT
@@ -177,7 +197,10 @@ class MultiScaleServer:
                             zero_sums, zero_cls, zero_wn, zero_u8,
                             self.views.num_views,
                             float(self.cfg.FP_CUT_SCORE))
-                        np.asarray(jax.device_get(dev[0]))
+                        jax.tree.map(np.asarray, jax.device_get(dev[0]))
+                    if getattr(self.postprocess, "exact", None) \
+                            is not None:
+                        self.postprocess.exact.warmup((mh, mw), nc)
         seen = set()
         pp_host_seen = set()
         dt = np.uint8 if self.uint8 else np.float32
@@ -209,7 +232,9 @@ class MultiScaleServer:
                             (cs, 1)),
                     self._put(jnp.zeros((cs, mh, mw, 3), jnp.uint8)),
                     self.views.num_views)
-                np.asarray(jax.device_get(dev))
+                jax.tree.map(np.asarray, jax.device_get(dev))
+                if getattr(self.postprocess, "exact", None) is not None:
+                    self.postprocess.exact.warmup((mh, mw), nc)
 
     def _put(self, x):
         """Shard a batched array's leading axis over the mesh ``data``
@@ -235,6 +260,8 @@ class MultiScaleServer:
         self._q.put(None)
         self._worker.join(timeout=10)
         self._finisher.shutdown(wait=True)
+        if self._crf_pool is not None:
+            self._crf_pool.shutdown(wait=True)
         # Fail anything the worker never got to (still stashed/queued
         # at shutdown) so callers blocked on Future.result() without a
         # timeout unblock deterministically instead of hanging.
@@ -482,7 +509,7 @@ class MultiScaleServer:
         if use_gt and self.postprocess is not None:
             labels_all = [g[1].astype(np.float32) for g in group]
             pending = self._dispatch_postprocess(per_image, sig_batches,
-                                                 labels_all)
+                                                 labels_all, group)
             t4 = _time.perf_counter()
             if dbg:
                 print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
@@ -507,7 +534,8 @@ class MultiScaleServer:
             # reference infer_val.py:115-125) — the worker dispatches
             # immediately; labels come back with the preds fetch
             pending = self._dispatch_postprocess(per_image,
-                                                 sig_batches)
+                                                 sig_batches,
+                                                 group=group)
             t4 = _time.perf_counter()
             if dbg:
                 print(f"[serving] n={n} build {1e3*(t1-t0):.0f} upload "
@@ -669,14 +697,26 @@ class MultiScaleServer:
                                               for gi in rows]))
                     dev = self.postprocess.dispatch_group(
                         sm, lb, wn, im, self.views.num_views)
+                    exact = getattr(self.postprocess, "crf_mode",
+                                    "fast") == "exact"
+                    rows = {gi: k for k, gi in enumerate(chunk)}
+                    ex = None
+                    if exact:
+                        dev, merged = dev
+                        ex = self._exact_jobs(group, per_image, chunk,
+                                              rows, merged)
                     # don't pay fetch bytes for the padding rows
-                    pending_pp.append((chunk, dev[:len(chunk)]))
-            for gis, dev in pending_pp:
+                    pending_pp.append((chunk, dev[:len(chunk)], ex))
+            for gis, dev, ex in pending_pp:
                 preds = np.asarray(jax.device_get(dev))
                 for k, gi in enumerate(gis):
                     _, pads, _, size_hw = per_image[gi]
+                    crf_np = None
+                    if ex is not None:
+                        crf_np = np.asarray(jax.device_get(
+                            ex[gi].result()))
                     res = self.postprocess.finalize(
-                        preds[k], pads[0], size_hw)
+                        preds[k], pads[0], size_hw, crf_np)
                     group[gi][2].set_result((res, labels_all[gi]))
             return
 
@@ -711,7 +751,7 @@ class MultiScaleServer:
             return
 
         pending = self._dispatch_postprocess(per_image, sig_batches,
-                                             labels_all)
+                                             labels_all, group)
         self._finalize_postprocess(group, per_image, pending, labels_all)
 
     @staticmethod
@@ -765,8 +805,32 @@ class MultiScaleServer:
         per_slot = mh * mw * nc * 4 * 15
         return max(1, int(10e9 // per_slot))
 
+    def _exact_jobs(self, group, per_image, gis, rows, merged_dev):
+        """Per-image exact-CRF stage (TEST.CRF_MODE=exact): host
+        lattice build from the ORIGINAL pixels + one device program per
+        image, on the dedicated crf thread so builds overlap device
+        work.  Returns {gi: Future -> (n_crf, Hc, Wc) uint8 device}."""
+        ex = self.postprocess.exact
+        canvas_hw = (int(merged_dev.shape[1]), int(merged_dev.shape[2]))
+        futs = {}
+        for gi in gis:
+            image = group[gi][0]
+            window = per_image[gi][1][0]
+
+            def job(image=image, window=window, row=rows[gi]):
+                try:
+                    img_np = np.asarray(image.convert("RGB"), np.uint8)
+                    tables = ex.build(img_np, canvas_hw, window)
+                    return ex.dispatch(tables, merged_dev, row)
+                finally:
+                    self._crf_slots.release()
+
+            self._crf_slots.acquire()  # backpressure on the worker
+            futs[gi] = self._crf_pool.submit(job)
+        return futs
+
     def _dispatch_postprocess(self, per_image, sig_batches,
-                              labels_all=None):
+                              labels_all=None, group=None):
         """Postprocess dispatches per view-shape signature — ONE when
         the canvas allows, HBM-budget-sized chunks otherwise (static
         chunk shape: the last chunk re-covers earlier rows).
@@ -776,10 +840,13 @@ class MultiScaleServer:
         labels compute INSIDE the program from the per-scale cls logits
         (program = ``dispatch_group_cls`` -> (preds, labels)).  One
         shared implementation of the chunk/row/gather logic serves
-        both.  Returns [(gis, row-map, device result)] WITHOUT
-        fetching."""
+        both.  Returns [(gis, row-map, device result, exact-futs)]
+        WITHOUT fetching; ``exact-futs`` is None unless the postprocess
+        runs in exact-CRF mode (then the device result carries the
+        merged maps and the futures resolve to per-image CRF preds)."""
         import jax.numpy as jnp
 
+        exact = getattr(self.postprocess, "crf_mode", "fast") == "exact"
         vpi = 2 if self.views.flip else 1
         fp_cut = float(self.cfg.FP_CUT_SCORE)
         pending = []
@@ -822,18 +889,29 @@ class MultiScaleServer:
                     rows = {gi: k for k, gi in enumerate(gis)}
                 else:
                     rows = {gi: gi for gi in gis}
-                pending.append((gis, rows, dev))
+                ex = self._exact_jobs(group, per_image, gis, rows,
+                                      dev[-1]) if exact else None
+                pending.append((gis, rows, dev, ex))
                 continue
             for st, sub in self._chunk_starts(cap, cs, gis):
                 rows = {gi: gi - st for gi in sub}
-                pending.append((sub, rows, dispatch(st, cs)))
+                dev = dispatch(st, cs)
+                ex = self._exact_jobs(group, per_image, sub, rows,
+                                      dev[-1]) if exact else None
+                pending.append((sub, rows, dev, ex))
         return pending
 
     def _finalize_postprocess(self, group, per_image, pending,
                               labels_all=None):
         """Fetch + resolve.  With device-computed labels the result is
-        a (preds, labels) pair fetched together."""
-        for gis, rows, dev in pending:
+        a (preds, labels) pair fetched together.  In exact-CRF mode the
+        device result also carries the merged maps (dropped here) and
+        per-image CRF preds arrive via the exact futures."""
+        for gis, rows, dev, ex in pending:
+            if ex is not None:
+                dev = dev[:-1]  # merged maps feed the exact stage only
+                if labels_all is not None:
+                    dev = dev[0]
             if labels_all is None:
                 preds, labels = jax.device_get(dev)
                 preds = np.asarray(preds)
@@ -842,8 +920,12 @@ class MultiScaleServer:
                 preds = np.asarray(jax.device_get(dev))
             for gi in gis:
                 _, pads, _, size_hw = per_image[gi]
+                crf_np = None
+                if ex is not None:
+                    crf_np = np.asarray(jax.device_get(
+                        ex[gi].result()))
                 res = self.postprocess.finalize(
-                    preds[rows[gi]], pads[0], size_hw)
+                    preds[rows[gi]], pads[0], size_hw, crf_np)
                 lab = (labels_all[gi] if labels_all is not None
                        else labels[rows[gi]])
                 group[gi][2].set_result((res, lab))
