@@ -67,6 +67,24 @@ def main(argv):
         else:
             print("WARNING: snapshot not found, using random init")
 
+    if (str(cfg.NET.DTYPE) == "int8"
+            and str(getattr(cfg.NET, "QUANT_ACT", "dynamic")) == "static"):
+        # calibrated per-channel activation scales
+        # (tools/quant_calibrate.py); serving with the zero-init stats
+        # would saturate every conv input, so missing stats are an error
+        stats_path = str(getattr(cfg.NET, "QUANT_STATS", ""))
+        if not stats_path or not os.path.isfile(stats_path):
+            raise FileNotFoundError(
+                "NET.QUANT_ACT=static needs NET.QUANT_STATS pointing at "
+                "a calibration msgpack (tools/quant_calibrate.py); got "
+                f"{stats_path!r}")
+        import flax.serialization
+        with open(stats_path, "rb") as f:
+            qs = flax.serialization.from_bytes(
+                variables["quant_stats"], f.read())
+        variables = dict(variables, quant_stats=qs)
+        print("Loaded int8 activation calibration", stats_path)
+
     crf_fn = None
     if any(CRFS[i] for i in TEST_ID):
         # exact permutohedral CRF (native/densecrf); falls back to the
@@ -117,21 +135,27 @@ def main(argv):
     # Fast path: cross-image batched forward, on-device merge and writer
     # math (threshold/argmax/CRF); only uint8 label maps leave the
     # device.  Everything the writers need besides PNG encoding runs on
-    # the TPU.  Falls back to the per-image host pipeline for multicrop,
-    # heatmap/scoremap writers, or when the device extensions are off.
-    use_fast = (str(cfg.TEST.METHOD) == "multiscale"
+    # the TPU.  Falls back to the per-image host pipeline for
+    # heatmap/scoremap writers or when the device extensions are off.
+    method = str(cfg.TEST.METHOD)
+    use_fast = (method in ("multiscale", "multicrop")
                 and bool(cfg.TEST.DEVICE_MERGE)
                 and bool(getattr(cfg.TEST, "UINT8_TRANSFER", False))
                 and not any(HEATMAPS[i] or SCOREMAPS[i] for i in TEST_ID))
     if use_fast:
         from wseg_tpu.engine.infer import make_device_postprocess
         from wseg_tpu.engine.serving import MultiScaleServer
+        from wseg_tpu.engine.serving_crop import MultiCropServer
 
         threshs = [PROSPECT_THRESHS[i] for i in TEST_ID]
         crf_threshs = [PROSPECT_THRESHS[i] for i in TEST_ID if CRFS[i]]
+        # the reference's multicrop merge applies NO BG_POW discount
+        # (MergeCrops, utils/inference_tools.py:257-301) — only the
+        # multiscale merge does (inference_tools.py:159)
         pp = make_device_postprocess(
             threshs, crf_threshs, crf_iters=10,
-            bg_pow=float(cfg.TEST.BG_POW),
+            bg_pow=(float(cfg.TEST.BG_POW)
+                    if method == "multiscale" else 1.0),
             crf_dtype=str(getattr(cfg.TEST, "CRF_DTYPE", "bfloat16")),
             crf_stride=int(getattr(cfg.TEST, "CRF_STRIDE", 1)),
             crf_tap_div=float(getattr(cfg.TEST, "CRF_TAP_DIV", 2.0)),
@@ -152,9 +176,11 @@ def main(argv):
                 mesh = make_mesh(n_data=n_data,
                                  devices=jax.devices()[:n_data])
                 print(f"Data-parallel inference over {n_data} devices")
-        server = MultiScaleServer(model, variables, cfg.TEST,
-                                  max_batch=mb, postprocess=pp,
-                                  mesh=mesh)
+        server_cls = (MultiScaleServer if method == "multiscale"
+                      else MultiCropServer)
+        server = server_cls(model, variables, cfg.TEST,
+                            max_batch=mb, postprocess=pp,
+                            mesh=mesh)
         # compile the bucket programs on THIS thread before the worker
         # touches them (XLA compiles inside the worker thread have been
         # observed to abort on some backends), sized from the first image

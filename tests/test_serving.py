@@ -203,11 +203,18 @@ def test_server_data_parallel_mesh_matches_single(model_vars, rng_np):
         np.testing.assert_array_equal(l8, l1)
 
 
-def test_server_mesh_requires_divisible_batch(model_vars):
+def test_server_mesh_rounds_batch_to_shardable(model_vars):
+    """A non-divisible max_batch is rounded UP to the next multiple of
+    the mesh data axis (with a warning) instead of asserting — the
+    driver picks BATCH_SIZE without knowing the mesh size."""
     _apply_cfg()
     model, variables = model_vars
     from wseg_tpu.parallel import make_mesh
     mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
-    with pytest.raises(AssertionError):
-        MultiScaleServer(model, variables, cfg.TEST, max_batch=3,
-                         mesh=mesh)
+    with pytest.warns(UserWarning, match="rounded"):
+        server = MultiScaleServer(model, variables, cfg.TEST,
+                                  max_batch=3, mesh=mesh)
+    try:
+        assert server.max_batch == 8
+    finally:
+        server.close()

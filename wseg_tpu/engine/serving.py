@@ -93,6 +93,10 @@ class MultiScaleServer:
                 "reads the raw uint8 scale-1.0 view)"
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # postprocess cls rows per slot (chunk slicing in
+        # _dispatch_postprocess); MultiCropServer overrides with its
+        # grid view count
+        self._cls_vpi = 2 if self.views.flip else 1
         self._q: "queue.Queue" = queue.Queue()
         self._stash = deque()  # different-signature arrivals, oldest first
         self._stop = threading.Event()
@@ -847,7 +851,7 @@ class MultiScaleServer:
         import jax.numpy as jnp
 
         exact = getattr(self.postprocess, "crf_mode", "fast") == "exact"
-        vpi = 2 if self.views.flip else 1
+        vpi = self._cls_vpi
         fp_cut = float(self.cfg.FP_CUT_SCORE)
         pending = []
         for gis, _, total, u8, cls_list in sig_batches:
