@@ -71,13 +71,15 @@ def main():
     n_rounds = 3
     n_images = n_rounds * imgs_per_batch
 
-    def timed_forward(m):
+    def timed_forward(m, use_vars=None):
         """Steady-state img/s of one model over all buckets.
 
         A tiny checksum per program forces completion at the final
         fetch (block_until_ready is unreliable on relayed backends)
         while the masks stay on device; all dispatches are pipelined
         and ONE scalar fetch pays the host<->device round trip."""
+        vv = variables if use_vars is None else use_vars
+
         @jax.jit
         def fwd(v, x):
             out = m.apply(v, x, train=False)
@@ -88,12 +90,12 @@ def main():
         # warmup / compile (first conv program on a fresh process can
         # take ~1 min on remote-compile backends)
         for b in batches:
-            _, _, chk = fwd(variables, b)
+            _, _, chk = fwd(vv, b)
             float(chk)
         total = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n_rounds):
-            chks = [fwd(variables, b)[2] for b in batches]
+            chks = [fwd(vv, b)[2] for b in batches]
             total = combine(total, *chks)
         final = float(total)  # depends on every dispatched program
         dt = time.perf_counter() - t0
@@ -108,16 +110,39 @@ def main():
     # Measured 17.7 img/s vs 13.0 bf16 on v5e.  Skippable via
     # WSEG_BENCH_NO_INT8=1.
     int8_img_per_sec = None
+    int8_static_img_per_sec = None
     if not os.environ.get("WSEG_BENCH_NO_INT8"):
         try:
             cfg.NET.DTYPE = "int8"
             int8_img_per_sec = timed_forward(get_model(cfg.NET,
                                                        num_classes=21))
+            # static per-channel activation grids (NET.QUANT_ACT:
+            # static): calibrate in-process on one batch per bucket,
+            # then serve on fixed grids — no runtime |x| reductions
+            cfg.NET.QUANT_ACT = "static"
+            ms = get_model(cfg.NET, num_classes=21)
+            v0 = init_test_variables(ms, rng, (1, 128, 128, 3))
+            stats = v0["quant_stats"]
+
+            import functools as _ft
+
+            @_ft.partial(jax.jit, donate_argnums=(1,))
+            def calib(v, st, x):
+                _, mut = ms.apply(dict(v, quant_stats=st), x,
+                                  train=False,
+                                  mutable=["quant_stats"])
+                return mut["quant_stats"]
+
+            for b in batches:
+                stats = calib(variables, stats, b)
+            int8_static_img_per_sec = timed_forward(
+                ms, use_vars=dict(variables, quant_stats=stats))
         except Exception as e:  # optional metric must not sink the run
             print(f"int8 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
         finally:
             cfg.NET.DTYPE = "bfloat16"
+            cfg.NET.QUANT_ACT = "dynamic"
 
     e2e_img_per_sec = bench_e2e(model, variables)
     # mixed landscape/portrait stream — the real VOC val geometry
@@ -141,6 +166,16 @@ def main():
                   flush=True)
         finally:
             _cfg.TEST.CRF_MODE = "fast"
+
+    # multicrop serving fast path (TEST.METHOD=multicrop, VERDICT r3
+    # task 5) — optional metric, must not sink the artifact
+    e2e_multicrop = None
+    if not os.environ.get("WSEG_BENCH_NO_MULTICROP"):
+        try:
+            e2e_multicrop = bench_e2e_multicrop(model, variables)
+        except Exception as e:
+            print(f"multicrop bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
 
     # train-step throughput in the driver-captured artifact (bs 8 + 16,
     # crop 384 — the configs/voc_resnet38.yaml recipe); skippable for a
@@ -183,8 +218,13 @@ def main():
             round(e2e_mixed_img_per_sec, 3),
         **({"int8_forward_images_per_sec": round(int8_img_per_sec, 3)}
            if int8_img_per_sec else {}),
+        **({"int8_static_forward_images_per_sec":
+            round(int8_static_img_per_sec, 3)}
+           if int8_static_img_per_sec else {}),
         **({"e2e_exact_crf_images_per_sec": round(e2e_exact, 3)}
            if e2e_exact else {}),
+        **({"e2e_multicrop_images_per_sec": round(e2e_multicrop, 3)}
+           if e2e_multicrop else {}),
         **train,
     }
     print(json.dumps(result), flush=True)
@@ -289,6 +329,93 @@ def bench_e2e(model, variables, n_images: int = 96,
     server.close()
     pool.shutdown()
     shutil.rmtree(out_dir, ignore_errors=True)
+    return n_images / dt
+
+
+def bench_e2e_multicrop(model, variables, n_images: int = 48) -> float:
+    """e2e infer_val throughput for TEST.METHOD=multicrop (reference
+    datasets/pascal_voc_ms.py:180-243 + utils/inference_tools.py:257-301):
+    ONE fused program per group — device normalise, grid crops, forward
+    over the crop batch, scatter merge with constant counts — then the
+    shared device postprocess (threshold/argmax/CRF) and PNG writes.
+
+    Covering geometry: PAD 640^2, CROP 448^2, 2x2 grid + flip = 8 views
+    per image with stride 320 < 448 (full canvas coverage; the
+    reference's default 1024^2/448/2x2 leaves uncovered bands its own
+    merge asserts against)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from wseg_tpu.config import cfg
+    from wseg_tpu.engine.infer import make_device_postprocess
+    from wseg_tpu.engine.serving_crop import MultiCropServer
+    from wseg_tpu.engine.writers import ResultWriter
+
+    saved = {k: cfg.TEST[k] for k in
+             ("METHOD", "PAD_SIZE", "CROP_SIZE", "CROP_GRID_SIZE")}
+    cfg.TEST.METHOD = "multicrop"
+    cfg.TEST.PAD_SIZE = [640, 640]
+    cfg.TEST.CROP_SIZE = [448, 448]
+    cfg.TEST.CROP_GRID_SIZE = [2, 2]
+    cfg.TEST.FLIP = True
+    cfg.TEST.USE_GT_LABELS = True
+    cfg.TEST.UINT8_TRANSFER = True
+
+    out_dir = tempfile.mkdtemp(prefix="wseg_bench_mc_")
+    rng = np.random.RandomState(0)
+    images = [Image.fromarray(
+        (rng.rand(384, 512, 3) * 255).astype(np.uint8))
+        for _ in range(n_images)]
+    gt = np.zeros(20, np.float32)
+    gt[[3, 8]] = 1.0
+
+    threshs = (0.0, 0.1)
+    # no BG_POW in the multicrop merge (MergeCrops semantics)
+    pp = make_device_postprocess(
+        threshs, threshs, crf_iters=10, bg_pow=1.0,
+        crf_dtype=str(cfg.TEST.CRF_DTYPE),
+        crf_stride=int(cfg.TEST.CRF_STRIDE),
+        crf_tap_div=float(cfg.TEST.CRF_TAP_DIV),
+        crf_full_stride=int(cfg.TEST.CRF_FULL_STRIDE),
+        crf_refine_iters=int(cfg.TEST.CRF_REFINE_ITERS))
+    server = MultiCropServer(model, variables, cfg.TEST, max_batch=8,
+                             postprocess=pp)
+    server.warmup()
+    writers = {t: ResultWriter(cfg.TEST, f"{out_dir}/t{t}",
+                               prospect_thresh=t, verbose=False)
+               for t in threshs}
+    pool = ThreadPoolExecutor(8)
+
+    def write_all(res, i):
+        for t, wr in writers.items():
+            wr.save_pred(f"bench_{i}.jpg", None, res[t]["pred"],
+                         res[t].get("pred_crf"))
+
+    def run(imgs):
+        futs = [server.submit(im, gt) for im in imgs]
+        writes = deque()
+        for i, f in enumerate(futs):
+            res, _ = f.result()
+            writes.append(pool.submit(write_all, res, i))
+        while writes:
+            writes.popleft().result()
+
+    run(images[:2])
+    t0 = _time.perf_counter()
+    run(images)
+    dt = _time.perf_counter() - t0
+
+    server.close()
+    pool.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for k, v in saved.items():
+        cfg.TEST[k] = v
     return n_images / dt
 
 

@@ -94,3 +94,74 @@ def test_quantconv_small_cin_is_float():
     np.testing.assert_allclose(got, want.astype(np.float32)
                                .astype(jnp.bfloat16).astype(np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_quantconv_static_calibration():
+    """Static mode (NET.QUANT_ACT: static): a mutable-quant_stats pass
+    max-accumulates per-channel |x|; serving on those grids tracks the
+    f32 conv at least as closely as the dynamic per-tensor path, and on
+    an outlier-channel input it must be strictly closer."""
+    from wseg_tpu.models.backbones.common import QuantConv
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 12, 12, 32).astype(np.float32) * 0.5
+    x[..., 7] *= 60.0  # one outlier channel wrecks a per-tensor grid
+    x = jnp.asarray(x)
+
+    qs = QuantConv(24, (3, 3), padding=[(1, 1), (1, 1)],
+                   act_mode="static")
+    v = qs.init(jax.random.PRNGKey(0), x)
+    assert "quant_stats" in v and \
+        v["quant_stats"]["amax"].shape == (32,)
+
+    # calibration pass: stats accumulate, max over batches
+    _, mut = qs.apply(v, x * 0.5, mutable=["quant_stats"])
+    _, mut2 = qs.apply(dict(v, quant_stats=mut["quant_stats"]), x,
+                       mutable=["quant_stats"])
+    amax = np.asarray(mut2["quant_stats"]["amax"])
+    np.testing.assert_allclose(
+        amax, np.abs(np.asarray(x)).max(axis=(0, 1, 2)), rtol=1e-6)
+
+    got = np.asarray(qs.apply(dict(v, quant_stats=mut2["quant_stats"]),
+                              x), np.float32)
+    qd = QuantConv(24, (3, 3), padding=[(1, 1), (1, 1)])
+    dyn = np.asarray(qd.apply({"params": v["params"]}, x), np.float32)
+    w = np.asarray(v["params"]["kernel"], np.float32)
+    want = np.asarray(jax.lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), np.float32)
+    err_s = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-8)
+    err_d = np.abs(dyn - want).mean() / (np.abs(want).mean() + 1e-8)
+    # ~0.5% of the static budget is bf16 output rounding; the signal
+    # is the strict improvement over the per-tensor dynamic grid
+    assert err_s < 0.03, err_s
+    assert err_s < err_d, (err_s, err_d)
+
+
+def test_int8_static_model_tracks_bf16():
+    """End-to-end static mode on a full model: calibrate on the input
+    distribution, then the static int8 forward tracks bf16 like the
+    dynamic mode does (cls correlation + argmax agreement)."""
+    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+    cfg.NET.BACKBONE = "resnet38"
+    cfg.NET.DTYPE = "bfloat16"
+    m16 = get_model(cfg.NET, num_classes=21)
+    cfg.NET.DTYPE = "int8"
+    cfg.NET.QUANT_ACT = "static"
+    ms = get_model(cfg.NET, num_classes=21)
+
+    v = init_test_variables(ms, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                    jnp.float32)
+    _, mut = ms.apply(v, x, train=False, mutable=["quant_stats"])
+    v = dict(v, quant_stats=mut["quant_stats"])
+
+    o16 = m16.apply({k: v[k] for k in v if k != "quant_stats"}, x,
+                    train=False)
+    o8 = ms.apply(v, x, train=False)
+    agree = (np.asarray(o16.masks).argmax(-1)
+             == np.asarray(o8.masks).argmax(-1)).mean()
+    assert agree > 0.9, agree
+    c16 = np.asarray(o16.cls, np.float32).ravel()
+    c8 = np.asarray(o8.cls, np.float32).ravel()
+    assert np.corrcoef(c16, c8)[0, 1] > 0.9

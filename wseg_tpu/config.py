@@ -218,6 +218,13 @@ def _default_cfg() -> AttrDict:
     # head stays bfloat16 and bf16 checkpoints load unchanged.
     # Fidelity: tests/test_quant.py, docs/ROOFLINE.md.
     c.NET.DTYPE = "bfloat16"
+    # int8 activation scales: "dynamic" (per-image, inside the program)
+    # or "static" (per-input-channel from a calibration pass —
+    # tools/quant_calibrate.py writes NET.QUANT_STATS, a msgpack of the
+    # ``quant_stats`` collection; finer grids for outlier channels AND
+    # no runtime |x| reductions).  Only read when NET.DTYPE is int8.
+    c.NET.QUANT_ACT = "dynamic"
+    c.NET.QUANT_STATS = ""
     c.NET.PAMR_IMPL = "auto"  # auto | lax | pallas
 
     c.MASKS = AttrDict()

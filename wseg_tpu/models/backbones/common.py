@@ -47,12 +47,18 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # the bf16 conv rate measured on v5e, docs/ROOFLINE.md); everything
 # non-conv computes in bfloat16.
 INT8_MARKER = "int8"
+# variant marker: w8a8 convs with CALIBRATED per-input-channel static
+# activation scales (NET.QUANT_ACT: static); same params + a
+# ``quant_stats`` collection produced by tools/quant_calibrate.py
+INT8_STATIC_MARKER = "int8_static"
+_INT8_MARKERS = (INT8_MARKER, INT8_STATIC_MARKER)
 
 
 def canon_dtype(d):
     """Resolve the int8 marker to the bfloat16 compute dtype for
     non-conv ops (norms, activations, head math)."""
-    return jnp.bfloat16 if isinstance(d, str) and d == INT8_MARKER else d
+    return jnp.bfloat16 if isinstance(d, str) and d in _INT8_MARKERS \
+        else d
 
 
 class FrozenBatchNorm(nn.Module):
@@ -120,6 +126,19 @@ class QuantConv(nn.Module):
     error budget.  Inference-only: round() has zero gradient, so
     training runs use bfloat16 (get_model maps NET.DTYPE int8 to a
     bf16 head + int8 backbone convs for test-mode use).
+
+    ``act_mode``:
+      "dynamic" — per-image activation scale computed inside the
+        program (one |x| reduction per conv).
+      "static"  — per-INPUT-CHANNEL scales from a calibration pass
+        (NET.QUANT_ACT: static, tools/quant_calibrate.py).  The
+        per-channel scale folds INTO the weight before weight
+        quantization (x/s_c against w*s_c is exact), so outlier
+        channels get their own grid — finer than any per-tensor scale —
+        and the runtime |x| reduction disappears.  Calibration: apply
+        with ``mutable=["quant_stats"]`` max-accumulates per-channel
+        |x| into the ``quant_stats`` collection (that pass still
+        quantizes dynamically; the stats are not final until saved).
     """
     features: int
     kernel_size: tuple
@@ -129,6 +148,7 @@ class QuantConv(nn.Module):
     use_bias: bool = False
     kernel_init: Callable = nn.initializers.he_normal()
     out_dtype: Any = jnp.bfloat16
+    act_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -140,22 +160,54 @@ class QuantConv(nn.Module):
                        (kh, kw, cin, self.features), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
         if cin >= 16:
-            sw = jnp.maximum(
-                jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
-            wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
-            # per-IMAGE dynamic activation scale (rows are independent
-            # through a conv): one outlier image no longer coarsens the
-            # whole batch's quantization grid
-            sx = jnp.maximum(
-                jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
-                        keepdims=True), 1e-12) / 127.0
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
-                          -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                xq, wq, self.strides, self.padding,
-                rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
-                preferred_element_type=jnp.int32)
-            y = y.astype(jnp.float32) * (sx * sw)
+            calibrating = False
+            amax = None
+            if self.act_mode == "static":
+                amax = self.variable(
+                    "quant_stats", "amax",
+                    lambda: jnp.zeros((cin,), jnp.float32))
+                calibrating = (self.is_mutable_collection("quant_stats")
+                               and not self.is_initializing())
+                if calibrating:
+                    cur = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                  axis=(0, 1, 2))
+                    amax.value = jnp.maximum(amax.value, cur)
+            if self.act_mode == "static" and not calibrating \
+                    and not self.is_initializing():
+                # fold the calibrated per-channel scale into the weight
+                sc = jnp.maximum(amax.value, 1e-12) / 127.0   # (cin,)
+                wf = w * sc[None, None, :, None]
+                sw = jnp.maximum(
+                    jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+                wq = jnp.clip(jnp.round(wf / sw),
+                              -127, 127).astype(jnp.int8)
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sc),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, wq, self.strides, self.padding,
+                    rhs_dilation=self.kernel_dilation,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * sw
+            else:
+                sw = jnp.maximum(
+                    jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+                wq = jnp.clip(jnp.round(w / sw),
+                              -127, 127).astype(jnp.int8)
+                # per-IMAGE dynamic activation scale (rows are
+                # independent through a conv): one outlier image no
+                # longer coarsens the whole batch's quantization grid
+                sx = jnp.maximum(
+                    jnp.max(jnp.abs(x.astype(jnp.float32)),
+                            axis=(1, 2, 3), keepdims=True), 1e-12) / 127.0
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    xq, wq, self.strides, self.padding,
+                    rhs_dilation=self.kernel_dilation,
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (sx * sw)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.out_dtype), w.astype(self.out_dtype),
@@ -180,11 +232,13 @@ def conv(features, kernel=3, stride=1, dilation=1, use_bias=False,
     pad = [((k - 1) // 2 * d, (k - 1) // 2 * d)
            for k, d in zip(kernel, (dilation, dilation))]
     pad = pad if kernel != (1, 1) else "VALID"
-    if isinstance(dtype, str) and dtype == INT8_MARKER:
+    if isinstance(dtype, str) and dtype in _INT8_MARKERS:
         return QuantConv(
             features, kernel, strides=(stride, stride), padding=pad,
             kernel_dilation=(dilation, dilation), use_bias=use_bias,
             name=name,
+            act_mode=("static" if dtype == INT8_STATIC_MARKER
+                      else "dynamic"),
             kernel_init=kernel_init or nn.initializers.he_normal())
     return nn.Conv(
         features, kernel, strides=(stride, stride),

@@ -638,9 +638,14 @@ def get_model(net_cfg, num_classes: int = 21) -> StageNet:
         raise NotImplementedError(f"Unknown model '{name}'")
     dstr = str(getattr(net_cfg, "DTYPE", "float32"))
     # "int8": w8a8-quantized backbone convs (inference mode; ~2x the
-    # bf16 conv rate on v5e, docs/ROOFLINE.md) + bfloat16 head math
+    # bf16 conv rate on v5e, docs/ROOFLINE.md) + bfloat16 head math.
+    # NET.QUANT_ACT "static" switches the activation scales to the
+    # calibrated per-input-channel grids (tools/quant_calibrate.py).
     dtype = jnp.bfloat16 if dstr in ("bfloat16", "int8") else jnp.float32
-    backbone_dtype = "int8" if dstr == "int8" else None
+    backbone_dtype = None
+    if dstr == "int8":
+        static = str(getattr(net_cfg, "QUANT_ACT", "dynamic")) == "static"
+        backbone_dtype = "int8_static" if static else "int8"
     return StageNet(
         spec=MODEL_SPECS[name],
         backbone=net_cfg.BACKBONE,
