@@ -343,6 +343,27 @@ def bench_e2e_multicrop(model, variables, n_images: int = 48) -> float:
     per image with stride 320 < 448 (full canvas coverage; the
     reference's default 1024^2/448/2x2 leaves uncovered bands its own
     merge asserts against)."""
+    from wseg_tpu.config import cfg
+
+    saved = {k: cfg.TEST[k] for k in
+             ("METHOD", "PAD_SIZE", "CROP_SIZE", "CROP_GRID_SIZE",
+              "FLIP", "USE_GT_LABELS", "UINT8_TRANSFER")}
+    cfg.TEST.METHOD = "multicrop"
+    cfg.TEST.PAD_SIZE = [640, 640]
+    cfg.TEST.CROP_SIZE = [448, 448]
+    cfg.TEST.CROP_GRID_SIZE = [2, 2]
+    cfg.TEST.FLIP = True
+    cfg.TEST.USE_GT_LABELS = True
+    cfg.TEST.UINT8_TRANSFER = True
+
+    try:
+        return _bench_e2e_multicrop_body(model, variables, n_images)
+    finally:
+        for k, v in saved.items():
+            cfg.TEST[k] = v
+
+
+def _bench_e2e_multicrop_body(model, variables, n_images: int) -> float:
     import shutil
     import tempfile
     import time as _time
@@ -356,16 +377,6 @@ def bench_e2e_multicrop(model, variables, n_images: int = 48) -> float:
     from wseg_tpu.engine.infer import make_device_postprocess
     from wseg_tpu.engine.serving_crop import MultiCropServer
     from wseg_tpu.engine.writers import ResultWriter
-
-    saved = {k: cfg.TEST[k] for k in
-             ("METHOD", "PAD_SIZE", "CROP_SIZE", "CROP_GRID_SIZE")}
-    cfg.TEST.METHOD = "multicrop"
-    cfg.TEST.PAD_SIZE = [640, 640]
-    cfg.TEST.CROP_SIZE = [448, 448]
-    cfg.TEST.CROP_GRID_SIZE = [2, 2]
-    cfg.TEST.FLIP = True
-    cfg.TEST.USE_GT_LABELS = True
-    cfg.TEST.UINT8_TRANSFER = True
 
     out_dir = tempfile.mkdtemp(prefix="wseg_bench_mc_")
     rng = np.random.RandomState(0)
@@ -414,8 +425,6 @@ def bench_e2e_multicrop(model, variables, n_images: int = 48) -> float:
     server.close()
     pool.shutdown()
     shutil.rmtree(out_dir, ignore_errors=True)
-    for k, v in saved.items():
-        cfg.TEST[k] = v
     return n_images / dt
 
 

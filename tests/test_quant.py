@@ -142,26 +142,31 @@ def test_int8_static_model_tracks_bf16():
     """End-to-end static mode on a full model: calibrate on the input
     distribution, then the static int8 forward tracks bf16 like the
     dynamic mode does (cls correlation + argmax agreement)."""
-    cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
-    cfg.NET.BACKBONE = "resnet38"
-    cfg.NET.DTYPE = "bfloat16"
-    m16 = get_model(cfg.NET, num_classes=21)
-    cfg.NET.DTYPE = "int8"
-    cfg.NET.QUANT_ACT = "static"
-    ms = get_model(cfg.NET, num_classes=21)
+    saved = (cfg.NET.DTYPE, cfg.NET.QUANT_ACT)
+    try:
+        cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
+        cfg.NET.BACKBONE = "resnet38"
+        cfg.NET.DTYPE = "bfloat16"
+        m16 = get_model(cfg.NET, num_classes=21)
+        cfg.NET.DTYPE = "int8"
+        cfg.NET.QUANT_ACT = "static"
+        ms = get_model(cfg.NET, num_classes=21)
 
-    v = init_test_variables(ms, jax.random.PRNGKey(0), (1, 64, 64, 3))
-    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
-                    jnp.float32)
-    _, mut = ms.apply(v, x, train=False, mutable=["quant_stats"])
-    v = dict(v, quant_stats=mut["quant_stats"])
+        v = init_test_variables(ms, jax.random.PRNGKey(0),
+                                (1, 64, 64, 3))
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                        jnp.float32)
+        _, mut = ms.apply(v, x, train=False, mutable=["quant_stats"])
+        v = dict(v, quant_stats=mut["quant_stats"])
 
-    o16 = m16.apply({k: v[k] for k in v if k != "quant_stats"}, x,
-                    train=False)
-    o8 = ms.apply(v, x, train=False)
-    agree = (np.asarray(o16.masks).argmax(-1)
-             == np.asarray(o8.masks).argmax(-1)).mean()
-    assert agree > 0.9, agree
-    c16 = np.asarray(o16.cls, np.float32).ravel()
-    c8 = np.asarray(o8.cls, np.float32).ravel()
-    assert np.corrcoef(c16, c8)[0, 1] > 0.9
+        o16 = m16.apply({k: v[k] for k in v if k != "quant_stats"}, x,
+                        train=False)
+        o8 = ms.apply(v, x, train=False)
+        agree = (np.asarray(o16.masks).argmax(-1)
+                 == np.asarray(o8.masks).argmax(-1)).mean()
+        assert agree > 0.9, agree
+        c16 = np.asarray(o16.cls, np.float32).ravel()
+        c8 = np.asarray(o8.cls, np.float32).ravel()
+        assert np.corrcoef(c16, c8)[0, 1] > 0.9
+    finally:
+        cfg.NET.DTYPE, cfg.NET.QUANT_ACT = saved

@@ -178,6 +178,16 @@ class CropViews:
         self.flip = flip
         self.stride_h = math.ceil(self.pad_size[0] / self.grid_h)
         self.stride_w = math.ceil(self.pad_size[1] / self.grid_w)
+        # reference pascal_voc_ms.py:192-195 asserts stride <= crop so
+        # the grid tiles the canvas with no uncovered bands
+        assert (self.crop_h <= self.pad_size[0]
+                and self.crop_w <= self.pad_size[1]), (
+            f"crop {self.crop_h}x{self.crop_w} exceeds padded canvas "
+            f"{self.pad_size}")
+        assert (self.stride_h <= self.crop_h
+                and self.stride_w <= self.crop_w), (
+            f"crop grid is sparse: stride {self.stride_h}x"
+            f"{self.stride_w} > crop {self.crop_h}x{self.crop_w}")
 
     @property
     def num_views(self):

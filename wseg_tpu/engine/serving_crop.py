@@ -50,6 +50,14 @@ def grid_coords(pad_hw, crop_hw, grid_hw) -> Tuple[Tuple[int, int], ...]:
     ch, cw = (int(c) for c in crop_hw)
     gh, gw = (int(g) for g in grid_hw)
     sh, sw = math.ceil(ph / gh), math.ceil(pw / gw)
+    # sparse grids (stride > crop) leave uncovered bands the fused
+    # merge would silently zero-fill; the reference CropLoader asserts
+    # the same invariant (pascal_voc_ms.py:192-195)
+    assert ch <= ph and cw <= pw, (
+        f"crop {ch}x{cw} exceeds padded canvas {ph}x{pw}")
+    assert sh <= ch and sw <= cw, (
+        f"crop grid is sparse: stride {sh}x{sw} > crop {ch}x{cw} "
+        f"(pad {ph}x{pw} / grid {gh}x{gw}) leaves uncovered bands")
     out = []
     for gi in range(gh):
         for gj in range(gw):

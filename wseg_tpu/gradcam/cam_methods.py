@@ -46,7 +46,8 @@ class BaseCAM:
 
     def __init__(self, model, variables, tap="conv6"):
         if (getattr(self, "uses_gradients", True)
-                and getattr(model, "backbone_dtype", None) == "int8"):
+                and str(getattr(model, "backbone_dtype", "")
+                        ).startswith("int8")):
             # round() in the quantized convs has zero gradient — every
             # GRADIENT-based CAM would silently return zeros (the
             # forward-only engines — Score/Ablation/Eigen — work fine
@@ -336,7 +337,7 @@ class GuidedBackprop:
     uses_gradients = True
 
     def __init__(self, model, variables, tap: str = "conv6"):
-        if getattr(model, "backbone_dtype", None) == "int8":
+        if str(getattr(model, "backbone_dtype", "")).startswith("int8"):
             # same guard as the gradient-based BaseCAM engines: round()
             # in the quantized convs has zero gradient
             raise ValueError(
