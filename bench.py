@@ -19,215 +19,265 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_IMG_PER_SEC = 0.3  # 2x Titan X estimate, see module docstring
 
+# Each segment runs in ITS OWN subprocess so no segment's state (grain
+# worker pools, compile-cache ratchets, cfg mutations, fragmented HBM)
+# can leak into another's timed window — VERDICT r4 task 2: the recorded
+# number must be the number the segment measures in isolation.
+# (name, env knob that skips it, required, timeout seconds)
+SEGMENTS = (
+    ("forward", None, True, 2400),
+    ("int8_forward", "WSEG_BENCH_NO_INT8", False, 2400),
+    ("e2e", None, False, 2400),
+    ("e2e_mixed", None, False, 2400),
+    ("e2e_int8", "WSEG_BENCH_NO_INT8", False, 2400),
+    ("e2e_exact", "WSEG_BENCH_NO_EXACT", False, 3000),
+    ("e2e_multicrop", "WSEG_BENCH_NO_MULTICROP", False, 2400),
+    ("train", "WSEG_BENCH_NO_TRAIN", False, 2400),
+    ("epoch", "WSEG_BENCH_NO_TRAIN", False, 2400),
+)
+
 
 def main():
+    merged = {}
+    for name, skip_env, required, tmo in SEGMENTS:
+        if skip_env and os.environ.get(skip_env):
+            continue
+        out = None
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--segment", name],
+                capture_output=True, text=True, timeout=tmo,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            merged.update(json.loads(line))
+        except Exception as e:
+            tail = out.stderr[-2000:] if out is not None and out.stderr \
+                else ""
+            sys.stderr.write(f"bench segment {name} failed: "
+                             f"{type(e).__name__}: {e}\n{tail}\n")
+            if required:
+                raise
+    result = {
+        "metric": "multiscale_inference_images_per_sec_per_chip",
+        "value": merged.pop("forward_images_per_sec"),
+        "unit": "img/s",
+        **merged,
+    }
+    result["vs_baseline"] = round(
+        result["value"] / REFERENCE_IMG_PER_SEC, 2)
+    if "e2e_infer_val_images_per_sec" in result:
+        result["e2e_vs_baseline"] = round(
+            result["e2e_infer_val_images_per_sec"]
+            / REFERENCE_IMG_PER_SEC, 2)
+    print(json.dumps(result), flush=True)
+
+
+def _flagship(dtype="bfloat16"):
     import jax
-    import jax.numpy as jnp
 
     from wseg_tpu.config import cfg, reset_cfg
+    from wseg_tpu.engine.train_loop import init_test_variables
     from wseg_tpu.models import get_model
 
     reset_cfg()
     cfg.NET.MODEL = "CAM_CASA_WGAP_tf"
     cfg.NET.BACKBONE = "resnet38"
-    cfg.NET.DTYPE = "bfloat16"
-
+    cfg.NET.DTYPE = dtype
     model = get_model(cfg.NET, num_classes=21)
-    rng = jax.random.PRNGKey(0)
+    variables = init_test_variables(model, jax.random.PRNGKey(0),
+                                    (1, 128, 128, 3))
+    return model, variables
 
-    # per-scale pad buckets for a typical 500x375 VOC image (scale ->
-    # padded size rounded up to TEST.PAD_ALIGN, the production default —
-    # 64 since r3; see tools/bench_buckets.py for the 128-vs-64 roofline);
-    # serving batches 8 images' views per bucket program (measured on
-    # v5e: 9.1 img/s at batch 1, 11.8 at batch 4, 12.5 at batch 8)
+
+def _bucket_batches(imgs_per_batch: int = 8):
+    """One batch per per-scale pad bucket for a typical 500x375 VOC
+    image (scale -> padded size rounded up to TEST.PAD_ALIGN, the
+    production default — 64 since r3; see tools/bench_buckets.py for
+    the 128-vs-64 roofline); serving batches 8 images' views per bucket
+    program (measured on v5e: 9.1 img/s at batch 1, 11.8 at 4, 12.5
+    at 8).  Each batch is [view, flipped view] x imgs_per_batch."""
+    import jax.numpy as jnp
+
+    from wseg_tpu.config import cfg
+
     align = int(cfg.TEST.PAD_ALIGN)
     base_hw = (384, 512)
     scales = [1.0, 0.5, 1.5, 2.0]
-    imgs_per_batch = 8
-    buckets = []
+    batches = []
     for s in scales:
         h = int(np.ceil(base_hw[0] * s / align) * align)
         w = int(np.ceil(base_hw[1] * s / align) * align)
-        buckets.append((h, w))
+        batches.append(jnp.asarray(
+            np.random.rand(2 * imgs_per_batch, h, w, 3), jnp.float32))
+    return batches, imgs_per_batch
 
-    from wseg_tpu.engine.train_loop import init_test_variables
-    variables = init_test_variables(model, rng, (1, 128, 128, 3))
 
-    # one batch per bucket: [view, flipped view] x imgs_per_batch
-    batches = [jnp.asarray(
-        np.random.rand(2 * imgs_per_batch, h, w, 3), jnp.float32)
-        for (h, w) in buckets]
+def timed_forward(m, variables, batches, imgs_per_batch,
+                  n_rounds: int = 3):
+    """Steady-state img/s of one model over all pad buckets.
+
+    A tiny checksum per program forces completion at the final
+    fetch (block_until_ready is unreliable on relayed backends)
+    while the masks stay on device; all dispatches are pipelined
+    and ONE scalar fetch pays the host<->device round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(v, x):
+        out = m.apply(v, x, train=False)
+        chk = out.cls.astype(jnp.float32).sum() + \
+            out.masks.astype(jnp.float32).sum()
+        return out.cls, out.masks, chk
 
     @jax.jit
     def combine(total, a, b, c, d):
         return total + a + b + c + d
 
-    n_rounds = 3
+    # warmup / compile (first conv program on a fresh process can
+    # take ~1 min on remote-compile backends)
+    for b in batches:
+        _, _, chk = fwd(variables, b)
+        float(chk)
     n_images = n_rounds * imgs_per_batch
+    total = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        chks = [fwd(variables, b)[2] for b in batches]
+        total = combine(total, *chks)
+    final = float(total)  # depends on every dispatched program
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    return n_images / dt
 
-    def timed_forward(m, use_vars=None):
-        """Steady-state img/s of one model over all buckets.
 
-        A tiny checksum per program forces completion at the final
-        fetch (block_until_ready is unreliable on relayed backends)
-        while the masks stay on device; all dispatches are pipelined
-        and ONE scalar fetch pays the host<->device round trip."""
-        vv = variables if use_vars is None else use_vars
+def _calibrated_int8():
+    """The opt-in int8 static serving mode (NET.DTYPE: int8 +
+    NET.QUANT_ACT: static — w8a8 backbone convs on calibrated
+    per-channel activation grids, bf16 head; same checkpoint; fidelity
+    bounds in tests/test_quant.py + docs/ROOFLINE.md).  Calibrates
+    in-process on one batch per bucket."""
+    import functools as _ft
 
-        @jax.jit
-        def fwd(v, x):
-            out = m.apply(v, x, train=False)
-            chk = out.cls.astype(jnp.float32).sum() + \
-                out.masks.astype(jnp.float32).sum()
-            return out.cls, out.masks, chk
+    import jax
 
-        # warmup / compile (first conv program on a fresh process can
-        # take ~1 min on remote-compile backends)
-        for b in batches:
-            _, _, chk = fwd(vv, b)
-            float(chk)
-        total = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n_rounds):
-            chks = [fwd(vv, b)[2] for b in batches]
-            total = combine(total, *chks)
-        final = float(total)  # depends on every dispatched program
-        dt = time.perf_counter() - t0
-        assert np.isfinite(final)
-        return n_images / dt
+    from wseg_tpu.config import cfg
+    from wseg_tpu.engine.train_loop import init_test_variables
+    from wseg_tpu.models import get_model
 
-    img_per_sec = timed_forward(model)
+    model, variables = _flagship()
+    batches, ipb = _bucket_batches()
+    cfg.NET.DTYPE = "int8"
+    cfg.NET.QUANT_ACT = "static"
+    ms = get_model(cfg.NET, num_classes=21)
+    v0 = init_test_variables(ms, jax.random.PRNGKey(0),
+                             (1, 128, 128, 3))
+    stats = v0["quant_stats"]
 
-    # secondary: the opt-in int8 serving mode (NET.DTYPE: int8 — w8a8
-    # dynamically-quantized backbone convs, bf16 head; same checkpoint;
-    # fidelity bounds in tests/test_quant.py + docs/ROOFLINE.md).
-    # Measured 17.7 img/s vs 13.0 bf16 on v5e.  Skippable via
-    # WSEG_BENCH_NO_INT8=1.
-    int8_img_per_sec = None
-    int8_static_img_per_sec = None
-    if not os.environ.get("WSEG_BENCH_NO_INT8"):
-        try:
-            cfg.NET.DTYPE = "int8"
-            int8_img_per_sec = timed_forward(get_model(cfg.NET,
-                                                       num_classes=21))
-            # static per-channel activation grids (NET.QUANT_ACT:
-            # static): calibrate in-process on one batch per bucket,
-            # then serve on fixed grids — no runtime |x| reductions
-            cfg.NET.QUANT_ACT = "static"
-            ms = get_model(cfg.NET, num_classes=21)
-            v0 = init_test_variables(ms, rng, (1, 128, 128, 3))
-            stats = v0["quant_stats"]
+    @_ft.partial(jax.jit, donate_argnums=(1,))
+    def calib(v, st, x):
+        _, mut = ms.apply(dict(v, quant_stats=st), x, train=False,
+                          mutable=["quant_stats"])
+        return mut["quant_stats"]
 
-            import functools as _ft
+    for b in batches:
+        stats = calib(variables, stats, b)
+    return ms, dict(variables, quant_stats=stats), batches, ipb
 
-            @_ft.partial(jax.jit, donate_argnums=(1,))
-            def calib(v, st, x):
-                _, mut = ms.apply(dict(v, quant_stats=st), x,
-                                  train=False,
-                                  mutable=["quant_stats"])
-                return mut["quant_stats"]
 
-            for b in batches:
-                stats = calib(variables, stats, b)
-            int8_static_img_per_sec = timed_forward(
-                ms, use_vars=dict(variables, quant_stats=stats))
-        except Exception as e:  # optional metric must not sink the run
-            print(f"int8 bench skipped: {type(e).__name__}: {e}",
-                  flush=True)
-        finally:
-            cfg.NET.DTYPE = "bfloat16"
-            cfg.NET.QUANT_ACT = "dynamic"
+def run_segment(name: str) -> dict:
+    from wseg_tpu.config import cfg
 
-    e2e_img_per_sec = bench_e2e(model, variables)
-    # mixed landscape/portrait stream — the real VOC val geometry
-    # distribution (reference pascal_voc_ms.py resizes arbitrary H x W);
-    # exercises the size-aware batching stash (VERDICT r3 task 4: the
-    # honest real-val proxy is the mixed number, so record both)
-    e2e_mixed_img_per_sec = bench_e2e(model, variables, mixed=True)
+    if name == "forward":
+        model, variables = _flagship()
+        batches, ipb = _bucket_batches()
+        return {"forward_images_per_sec":
+                round(timed_forward(model, variables, batches, ipb), 3)}
 
-    # parity-grade mode: EXACT permutohedral CRF per image on device
-    # (TEST.CRF_MODE=exact, 0.0000% argmax deviation vs native) —
-    # optional metric, must not sink the artifact
-    e2e_exact = None
-    if not os.environ.get("WSEG_BENCH_NO_EXACT"):
-        try:
-            from wseg_tpu.config import cfg as _cfg
-            _cfg.TEST.CRF_MODE = "exact"
-            e2e_exact = bench_e2e(model, variables, n_images=32,
-                                  smooth=True)
-        except Exception as e:
-            print(f"exact-crf bench skipped: {type(e).__name__}: {e}",
-                  flush=True)
-        finally:
-            _cfg.TEST.CRF_MODE = "fast"
+    if name == "int8_forward":
+        from wseg_tpu.models import get_model
+        model, variables = _flagship()
+        batches, ipb = _bucket_batches()
+        cfg.NET.DTYPE = "int8"
+        dyn = timed_forward(get_model(cfg.NET, num_classes=21),
+                            variables, batches, ipb)
+        ms, vs, batches, ipb = _calibrated_int8()
+        return {
+            "int8_forward_images_per_sec": round(dyn, 3),
+            "int8_static_forward_images_per_sec":
+                round(timed_forward(ms, vs, batches, ipb), 3),
+        }
 
-    # multicrop serving fast path (TEST.METHOD=multicrop, VERDICT r3
-    # task 5) — optional metric, must not sink the artifact
-    e2e_multicrop = None
-    if not os.environ.get("WSEG_BENCH_NO_MULTICROP"):
-        try:
-            e2e_multicrop = bench_e2e_multicrop(model, variables)
-        except Exception as e:
-            print(f"multicrop bench skipped: {type(e).__name__}: {e}",
-                  flush=True)
+    if name == "e2e":
+        model, variables = _flagship()
+        return {"e2e_infer_val_images_per_sec":
+                round(bench_e2e(model, variables), 3)}
 
-    # train-step throughput in the driver-captured artifact (bs 8 + 16,
-    # crop 384 — the configs/voc_resnet38.yaml recipe); skippable for a
-    # quick inference-only run via WSEG_BENCH_NO_TRAIN=1
-    train = {}
-    if not os.environ.get("WSEG_BENCH_NO_TRAIN"):
+    if name == "e2e_mixed":
+        # mixed landscape/portrait stream — the real VOC val geometry
+        # distribution (reference pascal_voc_ms.py resizes arbitrary
+        # H x W); exercises the size-aware batching stash
+        model, variables = _flagship()
+        return {"e2e_mixed_geometry_images_per_sec":
+                round(bench_e2e(model, variables, mixed=True), 3)}
+
+    if name == "e2e_int8":
+        # the full serving pipeline on the calibrated int8-static model
+        # (VERDICT r4 task 4: int8 e2e recorded in the artifact)
+        ms, vs, _, _ = _calibrated_int8()
+        return {"e2e_int8_images_per_sec":
+                round(bench_e2e(ms, vs), 3)}
+
+    if name == "e2e_exact":
+        # parity-grade mode: EXACT permutohedral CRF per image on
+        # device (TEST.CRF_MODE=exact, 0.0000% argmax deviation)
+        model, variables = _flagship()
+        cfg.TEST.CRF_MODE = "exact"
+        return {"e2e_exact_crf_images_per_sec":
+                round(bench_e2e(model, variables, n_images=32,
+                                smooth=True), 3)}
+
+    if name == "e2e_multicrop":
+        model, variables = _flagship()
+        return {"e2e_multicrop_images_per_sec":
+                round(bench_e2e_multicrop(model, variables), 3)}
+
+    if name == "train":
         from bench_train import measure_seam_step, measure_train_step
+        out = {}
         for bs in (8, 16):
             step_ms, ips = measure_train_step(bs)
-            train[f"train_step_ms_bs{bs}"] = round(step_ms, 1)
-            train[f"train_imgs_per_sec_bs{bs}"] = round(ips, 3)
-        try:  # SEAM trainer cost (VERDICT r3 task 8) — optional metric
+            out[f"train_step_ms_bs{bs}"] = round(step_ms, 1)
+            out[f"train_imgs_per_sec_bs{bs}"] = round(ips, 3)
+        try:  # SEAM trainer cost — optional metric
             step_ms, ips = measure_seam_step(8)
-            train["seam_step_ms_bs8"] = round(step_ms, 1)
-            train["seam_imgs_per_sec_bs8"] = round(ips, 3)
+            out["seam_step_ms_bs8"] = round(step_ms, 1)
+            out["seam_imgs_per_sec_bs8"] = round(ips, 3)
         except Exception as e:
             print(f"seam bench skipped: {type(e).__name__}: {e}",
                   flush=True)
-        try:  # sustained live loop: real on-disk input pipeline
-            from bench_train import measure_train_epoch
-            ips = measure_train_epoch(8)
-            train["train_epoch_imgs_per_sec_bs8"] = round(ips, 3)
-        except Exception as e:
-            print(f"epoch bench skipped: {type(e).__name__}: {e}",
-                  flush=True)
+        return out
 
-    result = {
-        "metric": "multiscale_inference_images_per_sec_per_chip",
-        "value": round(img_per_sec, 3),
-        "unit": "img/s",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-        # complete infer_val pipeline: batched multi-scale forward,
-        # on-device merge + writer math (threshold/argmax + 10-iter
-        # mean-field CRF on device), PNG writes for two thresholds (the
-        # reference's TEST_ID=[0,1] writer matrix)
-        "e2e_infer_val_images_per_sec": round(e2e_img_per_sec, 3),
-        "e2e_vs_baseline": round(e2e_img_per_sec / REFERENCE_IMG_PER_SEC,
-                                 2),
-        "e2e_mixed_geometry_images_per_sec":
-            round(e2e_mixed_img_per_sec, 3),
-        **({"int8_forward_images_per_sec": round(int8_img_per_sec, 3)}
-           if int8_img_per_sec else {}),
-        **({"int8_static_forward_images_per_sec":
-            round(int8_static_img_per_sec, 3)}
-           if int8_static_img_per_sec else {}),
-        **({"e2e_exact_crf_images_per_sec": round(e2e_exact, 3)}
-           if e2e_exact else {}),
-        **({"e2e_multicrop_images_per_sec": round(e2e_multicrop, 3)}
-           if e2e_multicrop else {}),
-        **train,
-    }
-    print(json.dumps(result), flush=True)
+    if name == "epoch":
+        # sustained live loop: real on-disk input pipeline; the split
+        # attributes ms/step to load/put/dispatch so the recorded
+        # number is diagnosable (VERDICT r4 task 6)
+        from bench_train import measure_train_epoch
+        ips, split = measure_train_epoch(8)
+        return {"train_epoch_imgs_per_sec_bs8": round(ips, 3),
+                "train_epoch_split": split}
+
+    raise SystemExit(f"unknown bench segment: {name}")
 
 
 def bench_e2e(model, variables, n_images: int = 96,
@@ -429,8 +479,10 @@ def _bench_e2e_multicrop_body(model, variables, n_images: int) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--segment":
+        print(json.dumps(run_segment(sys.argv[2])), flush=True)
+    else:
+        main()
     # the relayed TPU backend leaves non-daemon service threads running;
-    # exit explicitly so the driver's bench invocation terminates
-    import os
+    # exit explicitly so the bench invocation terminates
     os._exit(0)

@@ -126,8 +126,12 @@ def measure_train_epoch(bs: int = 8, crop: int = 384,
     (/root/reference/train.py:206), where the synthetic-batch
     measure_train_step is the device-only bound.
 
-    Returns (imgs_per_sec, pct_of_step_bound_is_left_to_caller).
-    """
+    Returns (imgs_per_sec, split) where ``split`` attributes the
+    steady-state wall time in ms/step to load (waiting on the input
+    pipeline), put (host->device conversion) and dispatch (the step
+    call, which blocks only when the device queue back-pressures) —
+    the diagnosable breakdown VERDICT r4 task 6 requires in the bench
+    artifact."""
     import shutil
     import tempfile
 
@@ -212,21 +216,42 @@ def measure_train_epoch(bs: int = 8, crop: int = 384,
             pass
 
         done = 0
+        t_load = t_put = t_disp = 0.0
         t0 = time.perf_counter()
         while done < n_steps:
-            for b in loader:
-                state, metrics = step(state, step_batch(b), rng, on)
+            it = iter(loader)
+            while done < n_steps:
+                ta = time.perf_counter()
+                try:
+                    b = next(it)
+                except StopIteration:
+                    break
+                tb = time.perf_counter()
+                db = step_batch(b)
+                tc = time.perf_counter()
+                state, metrics = step(state, db, rng, on)
+                td = time.perf_counter()
+                t_load += tb - ta
+                t_put += tc - tb
+                t_disp += td - tc
                 done += 1
                 if done % log_every == 0:
                     # trainer fetches metrics every LOG_EVERY steps
                     assert np.isfinite(float(metrics["loss"]))
-                if done >= n_steps:
-                    break
         float(metrics["loss"])  # final barrier
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return bs * n_steps / dt
+    split = {
+        "load_ms_per_step": round(t_load / n_steps * 1000.0, 1),
+        "put_ms_per_step": round(t_put / n_steps * 1000.0, 1),
+        "dispatch_ms_per_step": round(t_disp / n_steps * 1000.0, 1),
+        # the final-barrier tail (device work still in flight when the
+        # host loop finishes) shows up here
+        "other_ms_per_step": round(
+            (dt - t_load - t_put - t_disp) / n_steps * 1000.0, 1),
+    }
+    return bs * n_steps / dt, split
 
 
 def main():
