@@ -203,6 +203,51 @@ def test_server_data_parallel_mesh_matches_single(model_vars, rng_np):
         np.testing.assert_array_equal(l8, l1)
 
 
+def test_server_mesh_rounded_batch_uneven_tail(model_vars, rng_np):
+    """End-to-end serve through the ROUNDED max_batch derivation
+    (serving.py max_batch -> next multiple of the data axis) with a
+    tail group smaller than the rounded slot count: 3 images into a
+    max_batch=5 server on an 8-way mesh (rounds to 8, so the one group
+    is all tail padding).  Results must match the single-device server
+    exactly — VERDICT r4 task 9 (reference infer_val.py:99)."""
+    _apply_cfg()
+    cfg.TEST.DEVICE_VIEWS = True
+    cfg.TEST.UINT8_TRANSFER = True
+    model, variables = model_vars
+
+    from wseg_tpu.parallel import make_mesh
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+
+    imgs = [Image.fromarray(
+        (rng_np.rand(40, 48, 3) * 255).astype(np.uint8))
+        for _ in range(3)]
+
+    def run(mesh_arg, mb):
+        if mesh_arg is not None:
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", UserWarning)
+                server = MultiScaleServer(model, variables, cfg.TEST,
+                                          max_batch=mb, max_wait_ms=50,
+                                          mesh=mesh_arg)
+            assert server.max_batch == 8
+        else:
+            server = MultiScaleServer(model, variables, cfg.TEST,
+                                      max_batch=mb, max_wait_ms=50)
+        server.warmup([(48, 40)])
+        try:
+            futs = [server.submit(im) for im in imgs]
+            return [f.result(timeout=300) for f in futs]
+        finally:
+            server.close()
+
+    single = run(None, 8)
+    sharded = run(mesh, 5)
+    for (m1, l1), (m8, l8) in zip(single, sharded):
+        np.testing.assert_allclose(m8, m1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(l8, l1)
+
+
 def test_server_mesh_rounds_batch_to_shardable(model_vars):
     """A non-divisible max_batch is rounded UP to the next multiple of
     the mesh data axis (with a warning) instead of asserting — the
