@@ -211,3 +211,26 @@ def test_grad_clip_knob():
         assert np.isfinite(float(metrics["loss"]))
     finally:
         cfg.NET.GRAD_CLIP = 0.0
+
+
+def test_trainer_device_batch_forwards_jitter():
+    """DATASET.DEVICE_JITTER (the default) makes the loader emit (B, 9)
+    jitter params that the train step applies ON DEVICE
+    (train_loop.py _normalise_batch_image); the trainer's device-put
+    must forward them — dropping the key silently disables colour
+    augmentation for the whole run."""
+    from types import SimpleNamespace
+
+    from wseg_tpu.engine.trainer import DecTrainer
+
+    batch = {"image": np.zeros((2, 8, 8, 3), np.uint8),
+             "labels": np.zeros((2, 20), np.float32),
+             "jitter": np.zeros((2, 9), np.float32),
+             "score": np.zeros((2, 8, 8), np.float32)}
+    db = DecTrainer._device_batch(SimpleNamespace(mesh=None), batch)
+    # jitter forwarded; the unused scoremap stream is NOT transferred
+    assert set(db) == {"image", "labels", "jitter"}
+    db2 = DecTrainer._device_batch(
+        SimpleNamespace(mesh=None),
+        {k: batch[k] for k in ("image", "labels")})
+    assert set(db2) == {"image", "labels"}

@@ -200,8 +200,14 @@ class DecTrainer:
         # ragged tail from a non-dropping loader) falls back to an
         # unsharded put instead of a device_put ValueError
         from wseg_tpu.parallel.mesh import shard_leading_if_divisible
+        # "jitter" (device colour-jitter params) rides along when the
+        # loader emits it — dropping it here would silently train
+        # WITHOUT colour augmentation under DATASET.DEVICE_JITTER (the
+        # default); the train step applies it on device
+        # (train_loop.py _normalise_batch_image)
+        keys = [k for k in ("image", "labels", "jitter") if k in batch]
         return {k: shard_leading_if_divisible(self.mesh, batch[k])
-                for k in ("image", "labels")}
+                for k in keys}
 
     def _maybe_capture_fixed_batch(self, batch):
         """Persist the first training batch for epoch-over-epoch visual
