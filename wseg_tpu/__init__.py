@@ -38,7 +38,37 @@ if _os.environ.get("WSEG_PLATFORM"):
 # WSEG_JAX_CACHE=off.
 _cache = _os.environ.get("WSEG_JAX_CACHE",
                          _os.path.expanduser("~/.cache/wseg_tpu_jax"))
+
+
+def _host_cpu_tag() -> str:
+    """Short hash of the host's CPU feature flags.
+
+    XLA:CPU AOT cache entries embed the *compiling* machine's feature
+    set and fail to load on hosts missing any of them ("machine feature
+    +prefer-no-gather is not supported"; every load then falls back to
+    a slow recompile).  CPU-platform runs (tests, dryrun_multichip)
+    therefore use a per-CPU-signature cache subdirectory; TPU programs
+    are compiled for the TPU target and stay in the shared directory.
+    """
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(
+                        " ".join(sorted(line.split()))
+                        .encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 if _cache and _cache != "off":
+    if (_os.environ.get("WSEG_PLATFORM") == "cpu"
+            or "xla_force_host_platform_device_count"
+            in _os.environ.get("XLA_FLAGS", "")):
+        _cache = _os.path.join(_cache, "cpu-" + _host_cpu_tag())
     import jax as _jax
     try:
         _os.makedirs(_cache, exist_ok=True)
