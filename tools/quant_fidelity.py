@@ -37,6 +37,26 @@ def run_mode(dtype: str, variables, images, gt):
     from wseg_tpu.models import get_model
 
     cfg.NET.DTYPE = dtype
+    if dtype == "int8":
+        # WSEG_QUANT_ACT=static + WSEG_QUANT_STATS=<msgpack> measure
+        # the calibrated per-channel grid (tools/quant_calibrate.py)
+        # instead of the default dynamic scales (infer_val.py:70-86
+        # loads the same collection for production serving).
+        act = os.environ.get("WSEG_QUANT_ACT", "dynamic")
+        cfg.NET.QUANT_ACT = act
+        if act == "static":
+            import flax.serialization
+            import jax.random
+            from wseg_tpu.engine.train_loop import init_test_variables
+            stats_path = os.environ["WSEG_QUANT_STATS"]
+            tmpl_model = get_model(cfg.NET, num_classes=21)
+            tmpl = init_test_variables(
+                tmpl_model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+            with open(stats_path, "rb") as f:
+                qs = flax.serialization.from_bytes(
+                    tmpl["quant_stats"], f.read())
+            variables = dict(variables, quant_stats=qs)
+            print("loaded static calibration", stats_path, flush=True)
     model = get_model(cfg.NET, num_classes=21)
     pp = make_device_postprocess(
         (0.0, 0.1), (0.0, 0.1), crf_iters=10, bg_pow=3.0,
