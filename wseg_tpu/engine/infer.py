@@ -463,9 +463,11 @@ class ExactCRF:
         # dispatches stay lock-free
         self._interp_lock = threading.Lock()
 
-        def run(merged_stack, row, bu, bi, *, spec):
+        def run(merged_stack, row, bug, big, bub, bib, *, spec_g,
+                spec_b):
             from wseg_tpu.ops.crf_mm import crf_exact_mm, unpack_lattices
-            mm_g, mm_b = unpack_lattices(bu, bi, spec)
+            mm_g = unpack_lattices(bug, big, spec_g)
+            mm_b = unpack_lattices(bub, bib, spec_b)
             m = jax.lax.dynamic_index_in_dim(merged_stack, row, 0,
                                              keepdims=False)
             q = crf_exact_mm(m, mm_g, mm_b, t=self.iters,
@@ -480,7 +482,7 @@ class ExactCRF:
 
             return jnp.stack([pred(q, t) for t in self.crf_threshs])
 
-        self._run = jax.jit(run, static_argnames=("spec",))
+        self._run = jax.jit(run, static_argnames=("spec_g", "spec_b"))
 
     def build(self, img_rgb_u8: np.ndarray, canvas_hw, window):
         """Host lattice build.  ``img_rgb_u8``: the ORIGINAL (h, w, 3)
@@ -509,17 +511,28 @@ class ExactCRF:
         gkey = (Hc, Wc, pt, pl, h, w, caps.get("gm", 0),
                 caps.get("gB", 0), caps.get("gL", 0))
         with self._lock:
-            mm_g = self._gauss_cache.get(gkey)
-        if mm_g is None:
+            gauss = self._gauss_cache.get(gkey)
+        if gauss is None:
+            from wseg_tpu.ops.crf_mm import pack_lattices
             mm_g = build_mm_lattice(
                 gaussian_features((h, w), self.sxy_g),
                 n_pix=Hc * Wc, valid_mask=valid.reshape(-1), perm=perm,
                 min_m_lat=caps.get("gm", 0), min_pix_b=caps.get("gB", 0),
                 min_blur_b=caps.get("gL", 0), **self.GEOM)
+            # cache the packed gaussian tables DEVICE-resident: the
+            # gaussian half is content-independent, so steady state
+            # skips both its ~60 ms host build AND its ~4 MB/img upload
+            # (relay uplink ~55 MB/s)
+            bug, big, spec_g = pack_lattices(mm_g)
+            gdims = (int(mm_g.m_lat),
+                     int(mm_g.pix.blk_c.shape[0]),
+                     int(max(s.blk_c.shape[0] for s in mm_g.blur)))
+            gauss = (jnp.asarray(bug), jnp.asarray(big), spec_g, gdims)
             with self._lock:
                 if len(self._gauss_cache) >= 64:  # few geometries/run
                     self._gauss_cache.pop(next(iter(self._gauss_cache)))
-                self._gauss_cache[gkey] = mm_g
+                self._gauss_cache[gkey] = gauss
+        bug_d, big_d, spec_g, gdims = gauss
         # ratchet the per-canvas caps so later images reuse the same
         # compiled program: grow PAST the observed size (coarse quanta;
         # 1.5x on the first observation of a canvas, 1.25x after) —
@@ -534,31 +547,34 @@ class ExactCRF:
                     ("bB", mm_b.pix.blk_c.shape[0], 512),
                     ("bL", max(s.blk_c.shape[0] for s in mm_b.blur),
                      512),
-                    ("gm", mm_g.m_lat, 2048),
-                    ("gB", mm_g.pix.blk_c.shape[0], 512),
-                    ("gL", max(s.blk_c.shape[0] for s in mm_g.blur),
-                     512)):
+                    ("gm", gdims[0], 2048),
+                    ("gB", gdims[1], 512),
+                    ("gL", gdims[2], 512)):
                 if int(val) > caps.get(key, 0):
                     mult = 1.25 if key in caps else 1.5
                     caps[key] = -(-int(val * mult) // q) * q
-        # pack the ~60 table leaves into TWO transfers: the relay pays
-        # a ~130 ms round trip per array (pack_lattices docstring)
+        # pack the ~30 bilateral table leaves into TWO transfers: the
+        # relay pays a ~130 ms round trip per array (pack_lattices
+        # docstring); the gaussian half rides the device-resident cache
         from wseg_tpu.ops.crf_mm import pack_lattices
-        bu, bi, spec = pack_lattices((mm_g, mm_b))
-        return jnp.asarray(bu), jnp.asarray(bi), spec
+        bub, bib, spec_b = pack_lattices(mm_b)
+        return (bug_d, big_d, jnp.asarray(bub), jnp.asarray(bib),
+                spec_g, spec_b)
 
     def dispatch(self, tables, merged_stack, row: int):
         """One device program: (S, Hc, Wc, C) merged stack + this
         image's tables -> (n_crf_threshs, Hc, Wc) uint8, unfetched."""
-        bu, bi, spec = tables
+        bug, big, bub, bib, spec_g, spec_b = tables
         row = jnp.asarray(int(row), jnp.int32)
         if jax.default_backend() == "cpu":  # tests: interpret Pallas
             from jax.experimental.pallas import tpu as pltpu
             with self._interp_lock, pltpu.force_tpu_interpret_mode():
-                out = self._run(merged_stack, row, bu, bi, spec=spec)
+                out = self._run(merged_stack, row, bug, big, bub, bib,
+                                spec_g=spec_g, spec_b=spec_b)
                 jax.block_until_ready(out)
                 return out
-        return self._run(merged_stack, row, bu, bi, spec=spec)
+        return self._run(merged_stack, row, bug, big, bub, bib,
+                         spec_g=spec_g, spec_b=spec_b)
 
     def warmup(self, canvas_hw, n_classes: int):
         """Compile the per-canvas program on the caller's thread with a

@@ -145,27 +145,34 @@ def _chunk_blocks(ids, w, K, R0, m_lat, blk_quantum, D=D_PAD,
     IMAX = np.iinfo(np.int32).max
     masked = np.where(wc != 0.0, idc, np.int32(IMAX))
     srt = np.sort(masked.reshape(nc, -1), axis=1)
-    blk_c, blk_lo, blk_first = [], [], []
-    for c in range(nc):
-        row = srt[c]
-        row = row[row < IMAX]
-        if len(row) == 0:
-            blk_c.append(c)
-            blk_lo.append(m_lat - R0)
-            blk_first.append(1)
-            continue
-        j, first = 0, 1
-        while j < len(row):
-            start = int(row[j]) // R0 * R0
-            blk_c.append(c)
-            blk_lo.append(start)
-            blk_first.append(first)
-            first = 0
-            j = int(np.searchsorted(row, start + R0))
+    # with start = row[j] // R0 * R0 and width R0, the greedy cover is
+    # exactly the ascending list of DISTINCT R0-blocks holding valid
+    # ids — vectorised (the per-chunk while/searchsorted loop was the
+    # dominant host cost of the per-image exact-CRF build: ~54 ms/call
+    # at production geometry, ~2 ms vectorised)
+    blk = srt // R0                      # IMAX -> huge sentinel block
+    vld = srt < IMAX
+    nw = np.ones_like(vld)
+    nw[:, 1:] = blk[:, 1:] != blk[:, :-1]
+    take = nw & vld
+    c_idx, pos = np.nonzero(take)        # row-major: ascending per chunk
+    blk_c = c_idx.astype(np.int32)
+    blk_lo = (blk[c_idx, pos] * R0).astype(np.int32)
+    blk_first = np.zeros(len(c_idx), np.int32)
+    if len(c_idx):
+        blk_first[0] = 1
+        blk_first[1:] = (c_idx[1:] != c_idx[:-1]).astype(np.int32)
+    empty = ~vld.any(axis=1)             # all-pad chunks: inert block
+    if empty.any():
+        e = np.nonzero(empty)[0].astype(np.int32)
+        blk_c = np.concatenate([blk_c, e])
+        blk_lo = np.concatenate(
+            [blk_lo, np.full(len(e), m_lat - R0, np.int32)])
+        blk_first = np.concatenate([blk_first, np.ones(len(e), np.int32)])
+        order = np.argsort(blk_c, kind="stable")
+        blk_c, blk_lo, blk_first = (blk_c[order], blk_lo[order],
+                                    blk_first[order])
     B = len(blk_c)
-    blk_c = np.asarray(blk_c, np.int32)
-    blk_lo = np.asarray(blk_lo, np.int32)
-    blk_first = np.asarray(blk_first, np.int32)
     Bp = _round_up(max(B, min_B, 1), blk_quantum)
     if Bp > B:
         pad = Bp - B
