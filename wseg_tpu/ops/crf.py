@@ -148,9 +148,20 @@ def crf_inference_jax(img, probs, t: int = 10,
     """Batched on-device mean-field CRF over NHWC probs.
 
     Same algorithm as :func:`crf_inference_np`, expressed with XLA ops
-    (separable Gaussian as depthwise convs, bilateral as a static tap
-    loop).  ``valid_mask`` (B, H, W, 1) zeroes messages from padded pixels
-    so padded static shapes don't bleed into the interior.
+    (separable Gaussian as slice-sums, bilateral as a static tap loop /
+    fused Pallas kernel).  ``valid_mask`` (B, H, W, 1) zeroes messages
+    from padded pixels so padded static shapes don't bleed into the
+    interior.
+
+    Layout: the public surface is NHWC, but the whole mean field runs
+    CHANNELS-MAJOR (B, C, H, W) internally.  XLA's fusions already
+    handle the C=21 minor dim well for pure-XLA ops (probed NHWC ~= CM
+    for the fused elementwise/softmax path), but every *Pallas* call
+    needs W-minor lanes, so the NHWC loop paid a transpose pair per
+    bilateral kernel invocation per iteration.  Hoisting the layout
+    change to this boundary removes those: measured 5.17 -> 4.89
+    ms/img for the production fs2+r1 config at the 384x512 merge
+    canvas on v5e.
 
     ``dtype`` sets the message-passing precision (the ~80-tap bilateral
     loop is HBM-bound; bfloat16 halves its traffic).  Unary and softmax
@@ -187,34 +198,84 @@ def crf_inference_jax(img, probs, t: int = 10,
     ``q_init`` optionally seeds the mean field with a (B, H, W, C)
     distribution instead of ``probs`` (the unary stays -log probs).
     """
+    import jax.numpy as jnp
+
+    def cm(x):
+        return None if x is None else jnp.transpose(x, (0, 3, 1, 2))
+
+    q = _crf_jax_cm(cm(img), cm(probs), t=t,
+                    sxy_gaussian=sxy_gaussian,
+                    compat_gaussian=compat_gaussian,
+                    sxy_bilateral=sxy_bilateral, srgb=srgb,
+                    compat_bilateral=compat_bilateral,
+                    valid_mask=cm(valid_mask), dtype=dtype,
+                    bilateral_stride=bilateral_stride,
+                    tap_spacing_div=tap_spacing_div, impl=impl,
+                    full_stride=full_stride, refine_iters=refine_iters,
+                    q_init=cm(q_init))
+    return jnp.transpose(q, (0, 2, 3, 1))
+
+
+def _up2_cm(x, axis: int):
+    """Exact 2x half-pixel bilinear upsample along ``axis`` as
+    elementwise interleaving: out[2i] = .25 x[i-1] + .75 x[i],
+    out[2i+1] = .75 x[i] + .25 x[i+1] (edge-clamped) — identical to
+    resize_bilinear(..., align_corners=False) at exactly 2x, without
+    the matmul (which exceeded the 16 MB scoped-vmem budget inside the
+    vmapped scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = x.shape[axis]
+    prev = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, None, axis=axis),
+         jax.lax.slice_in_dim(x, n - 1, None, axis=axis)], axis)
+    even = 0.75 * x + 0.25 * prev
+    odd = 0.75 * x + 0.25 * nxt
+    st = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _crf_jax_cm(img, probs, t, sxy_gaussian, compat_gaussian,
+                sxy_bilateral, srgb, compat_bilateral, valid_mask,
+                dtype, bilateral_stride, tap_spacing_div, impl,
+                full_stride, refine_iters, q_init):
+    """Channels-major core: img (B, 3, H, W), probs/q_init (B, C, H, W),
+    valid_mask (B, 1, H, W) -> Q (B, C, H, W).  See
+    :func:`crf_inference_jax` for semantics."""
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.float32
 
-    B, H, W, C = probs.shape
+    B, C, H, W = probs.shape
 
     fs = int(full_stride)
     if fs > 1:
         Hp_, Wp_ = -(-H // fs) * fs, -(-W // fs) * fs
         if valid_mask is None:
-            valid_mask = jnp.ones((B, H, W, 1), jnp.float32)
+            valid_mask = jnp.ones((B, 1, H, W), jnp.float32)
 
         def _down(x):
-            xp = jnp.pad(x, ((0, 0), (0, Hp_ - H), (0, Wp_ - W),
-                             (0, 0)))
-            return xp.reshape(B, Hp_ // fs, fs, Wp_ // fs, fs,
-                              x.shape[-1]).mean(axis=(2, 4))
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, Hp_ - H),
+                             (0, Wp_ - W)))
+            return xp.reshape(B, x.shape[1], Hp_ // fs, fs, Wp_ // fs,
+                              fs).mean(axis=(3, 5))
 
         vm_s = _down(valid_mask)
         den = jnp.maximum(vm_s, 1e-8)
         img_s = _down(img.astype(jnp.float32) * valid_mask) / den
         probs_s = _down(probs.astype(jnp.float32) * valid_mask) / den
         probs_s = probs_s / jnp.maximum(
-            probs_s.sum(-1, keepdims=True), 1e-8)
+            probs_s.sum(1, keepdims=True), 1e-8)
         r = min(int(refine_iters), t)
-        q = crf_inference_jax(
+        q = _crf_jax_cm(
             img_s, probs_s, t=t - r,
             sxy_gaussian=sxy_gaussian / fs,
             compat_gaussian=compat_gaussian,
@@ -222,23 +283,31 @@ def crf_inference_jax(img, probs, t: int = 10,
             compat_bilateral=compat_bilateral,
             valid_mask=(vm_s > 0.0).astype(jnp.float32), dtype=dtype,
             bilateral_stride=max(1, int(bilateral_stride) // fs),
-            tap_spacing_div=tap_spacing_div, impl=impl)
-        from wseg_tpu.ops.resize import resize_bilinear
-        up = resize_bilinear(q, (Hp_, Wp_), align_corners=False)
-        up = up[:, :H, :W] * valid_mask
+            tap_spacing_div=tap_spacing_div, impl=impl, full_stride=1,
+            refine_iters=0, q_init=None)
+        if fs == 2:
+            up = _up2_cm(_up2_cm(q, 2), 3)
+        else:
+            from wseg_tpu.ops.resize import resize_bilinear
+            up = jnp.transpose(resize_bilinear(
+                jnp.transpose(q, (0, 2, 3, 1)), (Hp_, Wp_),
+                align_corners=False), (0, 3, 1, 2))
+        up = up[:, :, :H, :W] * valid_mask
         if r == 0:
             return up
-        up = up / jnp.maximum(up.sum(-1, keepdims=True), 1e-8)
-        return crf_inference_jax(
+        up = up / jnp.maximum(up.sum(1, keepdims=True), 1e-8)
+        return _crf_jax_cm(
             img, probs, t=r, sxy_gaussian=sxy_gaussian,
             compat_gaussian=compat_gaussian,
             sxy_bilateral=sxy_bilateral, srgb=srgb,
             compat_bilateral=compat_bilateral, valid_mask=valid_mask,
             dtype=dtype, bilateral_stride=bilateral_stride,
-            tap_spacing_div=tap_spacing_div, impl=impl, q_init=up)
+            tap_spacing_div=tap_spacing_div, impl=impl, full_stride=1,
+            refine_iters=0, q_init=up)
+
     img_f = img.astype(jnp.float32)
     if valid_mask is None:
-        valid_mask = jnp.ones((B, H, W, 1), jnp.float32)
+        valid_mask = jnp.ones((B, 1, H, W), jnp.float32)
 
     # --- Gaussian kernel (separable 1-D weights)
     r = int(round(2.0 * sxy_gaussian))
@@ -246,8 +315,8 @@ def crf_inference_jax(img, probs, t: int = 10,
     k1d = np.exp(-x1d * x1d / (2.0 * sxy_gaussian * sxy_gaussian))
     k1d_j = jnp.asarray(k1d)
 
-    # The Pallas gauss kernel (full-res rolls of a ~33 MB padded buffer
-    # per pass) measured SLOWER than the XLA slice-sum on v5e; only the
+    # The Pallas gauss kernel (full-res rolls of a padded buffer per
+    # pass) measured SLOWER than the XLA slice-sum on v5e; only the
     # bilateral tap sum benefits from the fused kernel.  ``impl``:
     #   auto   — bilateral Pallas on TPU (when the block fits VMEM),
     #            Gaussian always XLA slice-sum
@@ -255,20 +324,21 @@ def crf_inference_jax(img, probs, t: int = 10,
     #   pallas — force Pallas for both (experiments only)
     gauss_pallas = impl == "pallas"
 
-    def gauss_filter(x):  # (B,H,W,C)
+    def gauss_filter(x):  # (B, c, H, W)
         x = x * valid_mask
         if gauss_pallas:
             # fused VMEM kernel: HBM sees x once instead of once per
             # tap (ops/crf_pallas.py)
-            from wseg_tpu.ops.crf_pallas import gauss_blur_pallas
-            return gauss_blur_pallas(x, k1d, r)
+            from wseg_tpu.ops.crf_pallas import gauss_blur_pallas_cm
+            return gauss_blur_pallas_cm(x, k1d, r)
         # 13-tap separable slice-sum; a depthwise-conv formulation
         # measured 3x SLOWER on v5e (feature_group_count=21 lowers to
         # tiny grouped convs the MXU can't tile)
-        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)))
-        acc = sum(k1d_j[i] * xp[:, i:i + H] for i in range(2 * r + 1))
-        xp = jnp.pad(acc, ((0, 0), (0, 0), (r, r), (0, 0)))
-        return sum(k1d_j[i] * xp[:, :, i:i + W] for i in range(2 * r + 1))
+        xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)))
+        acc = sum(k1d_j[i] * xp[:, :, i:i + H] for i in range(2 * r + 1))
+        xp = jnp.pad(acc, ((0, 0), (0, 0), (0, 0), (r, r)))
+        return sum(k1d_j[i] * xp[:, :, :, i:i + W]
+                   for i in range(2 * r + 1))
 
     # --- bilateral: optionally evaluated on a strided grid
     s = int(bilateral_stride)
@@ -277,9 +347,9 @@ def crf_inference_jax(img, probs, t: int = 10,
         Hl, Wl = Hp // s, Wp // s
 
         def down(x):
-            xp = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-            return xp.reshape(B, Hl, s, Wl, s,
-                              x.shape[-1]).mean(axis=(2, 4))
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+            return xp.reshape(B, x.shape[1], Hl, s, Wl,
+                              s).mean(axis=(3, 5))
 
         vm_b = down(valid_mask)
         denom = jnp.maximum(vm_b, 1e-8)
@@ -298,16 +368,16 @@ def crf_inference_jax(img, probs, t: int = 10,
 
     def shift(x, dy, dx):
         """Shift by (dy, dx) with zero fill, static slicing."""
-        pad = ((0, 0), (max(0, -dy), max(0, dy)),
-               (max(0, -dx), max(0, dx)), (0, 0))
+        pad = ((0, 0), (0, 0), (max(0, -dy), max(0, dy)),
+               (max(0, -dx), max(0, dx)))
         xp = jnp.pad(x, pad)
-        return xp[:, max(0, dy):max(0, dy) + Hb,
-                  max(0, dx):max(0, dx) + Wb, :]
+        return xp[:, :, max(0, dy):max(0, dy) + Hb,
+                  max(0, dx):max(0, dx) + Wb]
 
     colour_w = []
     for (dy, dx) in taps:
         diff = img_b - shift(img_b, -dy, -dx)
-        cw = jnp.exp(-jnp.sum(diff * diff, -1, keepdims=True)
+        cw = jnp.exp(-jnp.sum(diff * diff, 1, keepdims=True)
                      / (2.0 * srgb * srgb))
         colour_w.append((cw * vm_b).astype(dtype))
 
@@ -330,15 +400,15 @@ def crf_inference_jax(img, probs, t: int = 10,
                   (impl == "auto" and jax.default_backend() == "tpu"
                    and vmem_est < 90 * 1024 * 1024))
     if use_pallas:
-        from wseg_tpu.ops.crf_pallas import bilateral_message_pallas
+        from wseg_tpu.ops.crf_pallas import bilateral_message_pallas_cm
         wstack = jnp.concatenate(
             [(tap_sp[k] * colour_w[k]).astype(dtype)
-             for k in range(len(taps))], axis=-1)
+             for k in range(len(taps))], axis=1)
 
         def bilateral_filter(x):
             # note: shifts here are x(pos - d) like the XLA loop's
             # shift(x, -dy, -dx); the kernel applies +d, so negate
-            return bilateral_message_pallas(
+            return bilateral_message_pallas_cm(
                 x, wstack, [(-dy, -dx) for dy, dx in taps])
     else:
         def bilateral_filter(x):
@@ -355,39 +425,19 @@ def crf_inference_jax(img, probs, t: int = 10,
         bilateral_filter(vm_b.astype(dtype)), 1e-20))
 
     if s > 1:
-        def up2(x, axis):
-            """Exact 2x half-pixel bilinear upsample along ``axis`` as
-            elementwise interleaving: out[2i] = .25 x[i-1] + .75 x[i],
-            out[2i+1] = .75 x[i] + .25 x[i+1] (edge-clamped) — the
-            matmul-based resize at (S, H, W, C) inside the vmapped scan
-            exceeds the 16 MB scoped-vmem budget on TPU."""
-            prev = jnp.concatenate(
-                [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-                 jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1,
-                                      axis=axis)], axis)
-            nxt = jnp.concatenate(
-                [jax.lax.slice_in_dim(x, 1, None, axis=axis),
-                 jax.lax.slice_in_dim(x, x.shape[axis] - 1, None,
-                                      axis=axis)], axis)
-            even = 0.75 * x + 0.25 * prev
-            odd = 0.75 * x + 0.25 * nxt
-            st = jnp.stack([even, odd], axis=axis + 1)
-            shape = list(x.shape)
-            shape[axis] *= 2
-            return st.reshape(shape)
-
-        from wseg_tpu.ops.resize import resize_bilinear
-
         def upsample(qb):
             if s == 2:
-                return up2(up2(qb, 1), 2)
-            return resize_bilinear(qb, (Hp, Wp), align_corners=False)
+                return _up2_cm(_up2_cm(qb, 2), 3)
+            from wseg_tpu.ops.resize import resize_bilinear
+            return jnp.transpose(resize_bilinear(
+                jnp.transpose(qb, (0, 2, 3, 1)), (Hp, Wp),
+                align_corners=False), (0, 3, 1, 2))
 
         def bilateral_msg(Q):
             Ql = down(Q * valid_mask) / denom
             qb = bilateral_filter((Ql * norm_b).astype(dtype)) * norm_b
             up = upsample(qb)
-            return up[:, :H, :W] * valid_mask
+            return up[:, :, :H, :W] * valid_mask
     else:
         def bilateral_msg(Q):
             return bilateral_filter(
@@ -400,7 +450,7 @@ def crf_inference_jax(img, probs, t: int = 10,
         qg = gauss_filter(Q * norm_g) * norm_g - self_g * Q
         qb = bilateral_msg(Q)
         msg = compat_gaussian * qg + compat_bilateral * qb
-        Q = jax.nn.softmax(-unary + msg, axis=-1)
+        Q = jax.nn.softmax(-unary + msg, axis=1)
         return Q, None
 
     Q0 = (q_init if q_init is not None else probs).astype(jnp.float32)

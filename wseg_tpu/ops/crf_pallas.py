@@ -65,6 +65,9 @@ def _bilateral_kernel(qp_ref, w_ref, out_ref, *, groups, pad, h, w):
 def bilateral_message_pallas(qn, weights, taps: Sequence[Tuple[int, int]]):
     """``msg(x) = sum_k weights_k(x) * qn(x + d_k)`` with zero fill.
 
+    NHWC wrapper around :func:`bilateral_message_pallas_cm` (kept for
+    callers outside the channels-major CRF loop).
+
     Args:
       qn: (B, H, W, C) pre-scaled Q (Q * norm_b * valid), any float
         dtype; upcast to f32 inside (Mosaic roll is 32-bit only) — the
@@ -75,8 +78,20 @@ def bilateral_message_pallas(qn, weights, taps: Sequence[Tuple[int, int]]):
     Returns:
       (B, H, W, C) float32 message.
     """
-    b, h, w, c = qn.shape
-    t = weights.shape[-1]
+    out = bilateral_message_pallas_cm(
+        jnp.transpose(qn, (0, 3, 1, 2)),
+        jnp.transpose(weights, (0, 3, 1, 2)), taps)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def bilateral_message_pallas_cm(q_chw, w_thw,
+                                taps: Sequence[Tuple[int, int]]):
+    """Channels-major entry: q (B, C, H, W), weights (B, T, H, W) ->
+    (B, C, H, W) f32 message.  The CRF mean-field loop keeps every
+    array W-minor (a C=21 minor dim pads to 128 lanes = 6x HBM
+    traffic), so no transposes are paid per iteration."""
+    b, c, h, w = q_chw.shape
+    t = w_thw.shape[1]
     assert t == len(taps), (t, len(taps))
     pad = max(max(abs(dy), abs(dx)) for dy, dx in taps)
     groups = _dx_groups(taps)
@@ -84,9 +99,9 @@ def bilateral_message_pallas(qn, weights, taps: Sequence[Tuple[int, int]]):
     # padded Q is f32 in VMEM: Mosaic's dynamic rotate only supports
     # 32-bit lanes ("Rotate with non-32-bit data"); the tap weights stay
     # bf16 (they are only multiplied, never rolled)
-    q_chw = jnp.transpose(qn.astype(jnp.float32), (0, 3, 1, 2))
-    qp = jnp.pad(q_chw, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
-    w_thw = jnp.transpose(weights.astype(jnp.bfloat16), (0, 3, 1, 2))
+    qp = jnp.pad(q_chw.astype(jnp.float32),
+                 ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    w_thw = w_thw.astype(jnp.bfloat16)
 
     kernel = functools.partial(_bilateral_kernel, groups=groups,
                                pad=pad, h=h, w=w)
@@ -106,7 +121,7 @@ def bilateral_message_pallas(qn, weights, taps: Sequence[Tuple[int, int]]):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(qp, w_thw)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return out
 
 
 def _gauss_kernel(xp_ref, out_ref, acc_ref, *, k1d, r, h, w):
@@ -136,9 +151,16 @@ def gauss_blur_pallas(x, k1d_host, r: int):
     (the XLA slice-sum reads the full array once per tap — 26 round
     trips per mean-field iteration at (8, 384, 512, 21)).
     """
-    b, h, w, c = x.shape
-    x_chw = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
-    xp = jnp.pad(x_chw, ((0, 0), (0, 0), (r, r), (r, r)))
+    out = gauss_blur_pallas_cm(jnp.transpose(x, (0, 3, 1, 2)),
+                               k1d_host, r)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def gauss_blur_pallas_cm(x_chw, k1d_host, r: int):
+    """Channels-major entry: (B, C, H, W) -> (B, C, H, W) f32."""
+    b, c, h, w = x_chw.shape
+    xp = jnp.pad(x_chw.astype(jnp.float32),
+                 ((0, 0), (0, 0), (r, r), (r, r)))
     k1d = [float(v) for v in np.asarray(k1d_host, np.float32)]
 
     kernel = functools.partial(_gauss_kernel, k1d=k1d, r=r, h=h, w=w)
@@ -155,4 +177,4 @@ def gauss_blur_pallas(x, k1d_host, r: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xp)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return out
