@@ -49,17 +49,35 @@ def _host_cpu_tag() -> str:
     a slow recompile).  CPU-platform runs (tests, dryrun_multichip)
     therefore use a per-CPU-signature cache subdirectory; TPU programs
     are compiled for the TPU target and stay in the shared directory.
+
+    The signature must include the CPU *model*, not just the flags
+    line: LLVM keys tuning features like +prefer-no-gather/-scatter on
+    family/model/stepping (Sapphire vs Emerald Rapids hosts expose
+    near-identical cpuinfo flags but different LLVM feature sets), so a
+    flags-only hash collides across such hosts and every AOT load still
+    fails back into a slow recompile with error spam (seen in the r5
+    dryrun logs even with the flags-hash subdir).
     """
     import hashlib
+    ident, flags = [], ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(
-                        " ".join(sorted(line.split()))
-                        .encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping", "CPU implementer",
+                           "CPU part", "CPU variant", "CPU revision"):
+                    ident.append(line.strip())
+                elif key in ("flags", "Features"):
+                    flags = " ".join(sorted(line.split()))
+                if flags and key == "bugs":
+                    break  # first processor block is enough
     except OSError:
         pass
+    if ident or flags:
+        return hashlib.sha1(
+            ("|".join(sorted(set(ident))) + "#" + flags)
+            .encode()).hexdigest()[:12]
     import platform
     return platform.machine() or "unknown"
 
